@@ -1,0 +1,185 @@
+"""Sub-Talker ("code predictor"): expands each talker step into the remaining
+codebook groups.
+
+Reference semantics (modeling_qwen3_tts.py:1015-1319, c/qwen_tts_talker.c:539-736):
+a 33-position-max sequential micro-decode per frame —
+
+* position 0: the talker's post-norm last hidden state
+* position 1: talker codec embedding of the frame's codebook-0 token;
+  its output goes through ``lm_head[0]`` → group-1 token
+* position k >= 2: ``codec_embedding[k-2]`` of the previous group's token;
+  output through ``lm_head[k-1]`` → group-k token
+
+All inputs pass through ``small_to_mtp_projection`` (identity when dims match,
+modeling_qwen3_tts.py:1171-1174). Standard 1D RoPE, same QK-norm trunk.
+
+TPU-first design (SURVEY.md §7 step 3): the 31 embedding tables and 31 LM
+heads are **stacked tensors** ([G-1, V, D] / [G-1, D, V]) indexed by step, so
+the whole micro-decode is one ``lax.scan`` — a single compiled step body, no
+per-group Python loop, per-step table selection is a ``dynamic_index`` gather.
+The tiny KV cache ([L, B, G, KV, hd]) lives in the scan carry and stays
+on-chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qwen_tts_tpu.config import CodePredictorConfig
+from qwen_tts_tpu.models.trunk import (
+    TrunkDims,
+    init_trunk_params,
+    trunk_decode_step,
+)
+from qwen_tts_tpu.ops.norms import rms_norm
+from qwen_tts_tpu.ops.rope import rope_cos_sin
+from qwen_tts_tpu.ops.sampling import SamplingConfig, sample_token
+
+
+def subtalker_dims(cfg: CodePredictorConfig) -> TrunkDims:
+    return TrunkDims(
+        num_layers=cfg.num_hidden_layers,
+        hidden=cfg.hidden_size,
+        heads=cfg.num_attention_heads,
+        kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        intermediate=cfg.intermediate_size,
+        eps=cfg.rms_norm_eps,
+        qk_norm=True,
+    )
+
+
+def init_subtalker_params(
+    rng: jax.Array,
+    cfg: CodePredictorConfig,
+    talker_hidden: int,
+    dtype=jnp.float32,
+) -> dict:
+    keys = jax.random.split(rng, 5)
+    g1 = cfg.num_code_groups - 1
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
+
+    params = {
+        # 31 embedding tables; embedding_dim is the *talker* hidden size
+        # (modeling_qwen3_tts.py:1030-1032 — embeddings feed both the
+        # micro-decode and the talker's next-frame input sum).
+        "embeds": w(keys[0], (g1, cfg.vocab_size, talker_hidden), talker_hidden),
+        "trunk": init_trunk_params(keys[1], subtalker_dims(cfg), dtype),
+        "norm": jnp.ones((cfg.hidden_size,), dtype),
+        "lm_heads": w(keys[2], (g1, cfg.hidden_size, cfg.vocab_size), cfg.hidden_size),
+    }
+    if cfg.hidden_size != talker_hidden:
+        params["input_proj"] = w(keys[3], (talker_hidden, cfg.hidden_size), talker_hidden)
+        params["input_proj_b"] = jnp.zeros((cfg.hidden_size,), dtype)
+    return params
+
+
+def _project_input(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """small_to_mtp_projection (identity when dims match)."""
+    if "input_proj" in params:
+        return x @ params["input_proj"] + params["input_proj_b"]
+    return x
+
+
+def alloc_subtalker_cache(
+    cfg: CodePredictorConfig, batch: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        cfg.num_code_groups,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def subtalker_generate(
+    params: dict,
+    cfg: CodePredictorConfig,
+    talker_codec_embedding: jnp.ndarray,  # [V_talker, D_talker] (group-0 table)
+    prev_hidden: jnp.ndarray,             # [B, D_talker] talker post-norm hidden
+    first_code: jnp.ndarray,              # [B] codebook-0 token
+    sampling: SamplingConfig,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Run the full micro-decode for one frame. Returns codes [B, G] int32
+    (slot 0 = first_code). Fully traceable — lives inside the jitted talker
+    decode loop."""
+    g = cfg.num_code_groups
+    dims = subtalker_dims(cfg)
+    b = prev_hidden.shape[0]
+    dtype = params["norm"].dtype
+
+    k_cache, v_cache = alloc_subtalker_cache(cfg, b, dtype)
+    cos_all, sin_all = rope_cos_sin(
+        jnp.arange(g, dtype=jnp.int32), cfg.head_dim, cfg.rope_theta
+    )  # [G, hd]
+
+    def step(carry, pos_and_rng):
+        kc, vc, prev_code = carry
+        pos, step_rng = pos_and_rng
+
+        # Input selection by position (see module docstring schedule).
+        emb_prev = talker_codec_embedding[prev_code]           # pos == 1 case
+        table_idx = jnp.maximum(pos - 2, 0)
+        emb_group = jax.lax.dynamic_index_in_dim(
+            params["embeds"], table_idx, axis=0, keepdims=False
+        )[prev_code]                                            # pos >= 2 case
+        x = jnp.where(
+            pos == 0,
+            prev_hidden.astype(dtype),
+            jnp.where(pos == 1, emb_prev, emb_group),
+        )
+        x = _project_input(params, x)
+
+        cos = jnp.broadcast_to(cos_all[pos][None], (b, cfg.head_dim))
+        sin = jnp.broadcast_to(sin_all[pos][None], (b, cfg.head_dim))
+        hidden, kc, vc = trunk_decode_step(
+            params["trunk"], dims, x, cos, sin, kc, vc, pos + 1
+        )
+        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+
+        head_idx = jnp.maximum(pos - 1, 0)
+        head = jax.lax.dynamic_index_in_dim(
+            params["lm_heads"], head_idx, axis=0, keepdims=False
+        )
+        logits = (hidden @ head).astype(jnp.float32)
+        code = sample_token(logits, sampling, step_rng)
+        # Position 0 produces no token; keep first_code as "previous".
+        code = jnp.where(pos == 0, prev_code, code)
+        return (kc, vc, code), code
+
+    if sampling.do_sample:
+        rngs = jax.random.split(rng, g)
+    else:
+        rngs = jnp.zeros((g, 2), jnp.uint32)
+    positions = jnp.arange(g, dtype=jnp.int32)
+    (_, _, _), codes = jax.lax.scan(
+        step, (k_cache, v_cache, first_code), (positions, rngs)
+    )
+    # codes[p] is the token emitted after position p; position 0 emitted none.
+    # Groups 1..G-1 come from positions 1..G-1; stack group 0 in front.
+    codes = jnp.concatenate([first_code[None], codes[1:]], axis=0)  # [G, B]
+    return codes.T.astype(jnp.int32)
+
+
+def embed_groups_sum(
+    params: dict,
+    talker_codec_embedding: jnp.ndarray,  # [V_talker, D_talker]
+    codes: jnp.ndarray,                   # [B, G]
+) -> jnp.ndarray:
+    """Σ of all G group embeddings — the talker's next-frame audio-track input
+    (modeling_qwen3_tts.py:1682-1687). Group 0 uses the talker table; groups
+    1..G-1 use the stacked sub-talker tables (one batched gather)."""
+    g = codes.shape[1]
+    first = talker_codec_embedding[codes[:, 0]]                   # [B, D]
+    # embeds: [G-1, V, D]; gather per group via take_along-style indexing.
+    group_ids = jnp.arange(g - 1)                                  # [G-1]
+    rest = params["embeds"][group_ids[:, None], codes[:, 1:].T]    # [G-1, B, D]
+    return first + jnp.sum(rest, axis=0)

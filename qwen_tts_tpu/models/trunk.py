@@ -1,0 +1,174 @@
+"""GQA transformer trunk shared by the Talker and the Sub-Talker.
+
+The reference implements this twice (Qwen3TTSTalkerDecoderLayer and
+Qwen3TTSDecoderLayer, modeling_qwen3_tts.py:961-1012,1348-1424) — identical
+math: RMSNorm → QKV → per-head QK-RMSNorm → RoPE → GQA attention → o_proj →
+residual → RMSNorm → SwiGLU → residual.
+
+TPU-first decisions:
+
+* **Stacked layer weights** ([L, ...] leading axis): prefill scans over
+  layers (one traced layer body, compiled once), the decode step runs a
+  ``fori_loop`` whose carry holds the full [L, B, S_max, KV, hd] KV cache and
+  only writes the new token's slots — XLA keeps the carry in place, so per
+  token HBM traffic is weights + one cache row, never a cache rewrite.
+* Weights are stored **[in, out]** so every projection is ``x @ w`` (lane-dim
+  contraction on the MXU); the loader transposes from torch's [out, in].
+* Fixed-shape caches + position masks instead of the reference's realloc'd
+  growing cache (c/qwen_tts_talker.c:489-496) — no recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qwen_tts_tpu.ops.attention import (
+    attention_decode_step,
+    attention_prefill,
+)
+from qwen_tts_tpu.ops.norms import rms_norm
+from qwen_tts_tpu.ops.rope import apply_rope
+
+
+class TrunkDims(NamedTuple):
+    num_layers: int
+    hidden: int
+    heads: int
+    kv_heads: int
+    head_dim: int
+    intermediate: int
+    eps: float
+    qk_norm: bool = True
+
+
+def init_trunk_params(rng: jax.Array, dims: TrunkDims, dtype=jnp.float32) -> dict:
+    """Random-init stacked trunk params (tests / benchmarks without a ckpt)."""
+    l, d, h, kv, hd, i = (
+        dims.num_layers,
+        dims.hidden,
+        dims.heads,
+        dims.kv_heads,
+        dims.head_dim,
+        dims.intermediate,
+    )
+    keys = jax.random.split(rng, 7)
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
+
+    params = {
+        "wq": w(keys[0], (l, d, h * hd), d),
+        "wk": w(keys[1], (l, d, kv * hd), d),
+        "wv": w(keys[2], (l, d, kv * hd), d),
+        "wo": w(keys[3], (l, h * hd, d), h * hd),
+        "gate": w(keys[4], (l, d, i), d),
+        "up": w(keys[5], (l, d, i), d),
+        "down": w(keys[6], (l, i, d), i),
+        "input_norm": jnp.ones((l, d), dtype),
+        "post_attn_norm": jnp.ones((l, d), dtype),
+    }
+    if dims.qk_norm:
+        params["q_norm"] = jnp.ones((l, hd), dtype)
+        params["k_norm"] = jnp.ones((l, hd), dtype)
+    return params
+
+
+def _project_qkv(layer: dict, x: jnp.ndarray, dims: TrunkDims):
+    """x: [..., D] → q [..., H, hd], k/v [..., KV, hd] with QK-RMSNorm."""
+    q = (x @ layer["wq"]).reshape(*x.shape[:-1], dims.heads, dims.head_dim)
+    k = (x @ layer["wk"]).reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
+    v = (x @ layer["wv"]).reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
+    if dims.qk_norm:
+        q = rms_norm(q, layer["q_norm"], dims.eps)
+        k = rms_norm(k, layer["k_norm"], dims.eps)
+    return q, k, v
+
+
+def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return (jax.nn.silu(x @ layer["gate"]) * (x @ layer["up"])) @ layer["down"]
+
+
+def _maybe_scale(layer: dict, key: str, x: jnp.ndarray) -> jnp.ndarray:
+    """LayerScale on a residual branch (codec pre-transformer only;
+    modeling_qwen3_tts_tokenizer_v2.py:394-406). Key presence is static."""
+    if key in layer:
+        return x * layer[key].astype(x.dtype)
+    return x
+
+
+def trunk_prefill(
+    params: dict,
+    dims: TrunkDims,
+    hidden: jnp.ndarray,  # [B, S, D]
+    cos: jnp.ndarray,     # [B, S, hd] (already M-RoPE-merged if applicable)
+    sin: jnp.ndarray,
+    *,
+    pad_mask: Optional[jnp.ndarray] = None,  # [B, S] True = real
+    sliding_window: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-sequence forward. Returns (hidden [B,S,D], k [L,B,S,KV,hd], v)."""
+
+    def layer_step(h, layer):
+        x = rms_norm(h, layer["input_norm"], dims.eps)
+        q, k, v = _project_qkv(layer, x, dims)
+        q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
+        k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
+        attn = attention_prefill(
+            q, k, v, pad_mask=pad_mask, sliding_window=sliding_window
+        )
+        h = h + _maybe_scale(layer, "attn_scale", attn.reshape(*h.shape[:-1], -1) @ layer["wo"])
+        h = h + _maybe_scale(
+            layer, "mlp_scale", _mlp(layer, rms_norm(h, layer["post_attn_norm"], dims.eps))
+        )
+        return h, (k, v)
+
+    hidden, (ks, vs) = jax.lax.scan(layer_step, hidden, params)
+    return hidden, ks, vs
+
+
+def trunk_decode_step(
+    params: dict,
+    dims: TrunkDims,
+    hidden: jnp.ndarray,   # [B, D] — the new token's embedding
+    cos: jnp.ndarray,      # [B, hd]
+    sin: jnp.ndarray,
+    k_cache: jnp.ndarray,  # [L, B, S_max, KV, hd]
+    v_cache: jnp.ndarray,
+    cur_len: jnp.ndarray,  # scalar int32 — sequence length *including* this token
+    *,
+    valid_from: Optional[jnp.ndarray] = None,  # [B]
+    sliding_window: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-token forward across all layers. Returns (hidden, k_cache, v_cache)."""
+    write_pos = cur_len - 1
+
+    def body(l, carry):
+        h, kc, vc = carry
+        layer = jax.tree_util.tree_map(lambda p: p[l], params)
+        x = rms_norm(h, layer["input_norm"], dims.eps)
+        q, k, v = _project_qkv(layer, x, dims)
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+        kc = jax.lax.dynamic_update_slice(
+            kc, k[None, :, None].astype(kc.dtype), (l, 0, write_pos, 0, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v[None, :, None].astype(vc.dtype), (l, 0, write_pos, 0, 0)
+        )
+        attn = attention_decode_step(
+            q, kc[l], vc[l],
+            cur_len=cur_len, valid_from=valid_from, sliding_window=sliding_window,
+        )
+        h = h + _maybe_scale(layer, "attn_scale", attn.reshape(h.shape[0], -1) @ layer["wo"])
+        h = h + _maybe_scale(
+            layer, "mlp_scale", _mlp(layer, rms_norm(h, layer["post_attn_norm"], dims.eps))
+        )
+        return h, kc, vc
+
+    hidden, k_cache, v_cache = jax.lax.fori_loop(
+        0, dims.num_layers, body, (hidden, k_cache, v_cache)
+    )
+    return hidden, k_cache, v_cache
