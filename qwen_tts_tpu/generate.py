@@ -1,0 +1,440 @@
+"""End-to-end generation: prompt-schema construction + the jitted
+autoregressive decode loop.
+
+Prompt schema replicates modeling_qwen3_tts.py:2124-2233 exactly (SURVEY.md §0
+"prefix construction"): dual-track fusion where every position is the sum of a
+text-track embedding (projected) and a codec-track embedding.
+
+The decode loop is the TPU-first rework of the reference's nested HF
+``generate`` calls (modeling_qwen3_tts.py:1664-1744): **one**
+``lax.while_loop`` jitted once per (batch, prefill-bucket, max-new) shape —
+each iteration runs the sub-talker micro-decode scan, the group-embedding sum,
+the talker single-token forward, logits processing and sampling entirely
+on-device. No host round-trips inside the loop; EOS is tracked per row and the
+loop exits when every row has stopped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_tts_tpu.config import TalkerConfig, TTSConfig
+from qwen_tts_tpu.models import subtalker as st_mod
+from qwen_tts_tpu.models import talker as talker_mod
+from qwen_tts_tpu.ops.sampling import (
+    SamplingConfig,
+    apply_repetition_penalty,
+    apply_suppress_mask,
+    build_suppress_mask,
+    sample_token,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationParams:
+    """Generation controls; defaults mirror the reference's hard defaults
+    (inference/qwen3_tts_model.py:319-330, modeling_qwen3_tts.py:2044-2058)."""
+
+    max_new_tokens: int = 2048
+    do_sample: bool = True
+    top_k: int = 50
+    top_p: float = 1.0
+    temperature: float = 0.9
+    repetition_penalty: float = 1.05
+    min_new_tokens: int = 2
+    subtalker_do_sample: bool = True
+    subtalker_top_k: int = 50
+    subtalker_top_p: float = 1.0
+    subtalker_temperature: float = 0.9
+    seed: int = 0
+
+    def talker_sampling(self) -> SamplingConfig:
+        return SamplingConfig(
+            do_sample=self.do_sample,
+            temperature=self.temperature,
+            top_k=self.top_k,
+            top_p=self.top_p,
+            repetition_penalty=self.repetition_penalty,
+            min_new_tokens=self.min_new_tokens,
+        )
+
+    def subtalker_sampling(self) -> SamplingConfig:
+        return SamplingConfig(
+            do_sample=self.subtalker_do_sample,
+            temperature=self.subtalker_temperature,
+            top_k=self.subtalker_top_k,
+            top_p=self.subtalker_top_p,
+        )
+
+    def greedy(self) -> "GenerationParams":
+        return dataclasses.replace(
+            self, do_sample=False, subtalker_do_sample=False,
+            repetition_penalty=1.0, min_new_tokens=0,
+        )
+
+
+# --------------------------------------------------------------------------
+# Prompt schema
+# --------------------------------------------------------------------------
+
+class Prompt(NamedTuple):
+    """One utterance's prefix on both tracks (unbatched, numpy-backed)."""
+
+    embeds: np.ndarray          # [S, D] summed dual-track prefix embeddings
+    trailing_text: np.ndarray   # [T_tr, D] trailing text-track embeddings
+    tts_pad_embed: np.ndarray   # [D]
+
+
+def build_prompt(
+    params: dict,
+    cfg: TTSConfig,
+    text_ids: Sequence[int],
+    *,
+    language: str = "auto",
+    speaker: Optional[str] = None,
+    speaker_embed: Optional[np.ndarray] = None,  # x-vector slot (Base models)
+    instruct_ids: Optional[Sequence[int]] = None,
+    non_streaming: bool = False,
+    ref_ids: Optional[Sequence[int]] = None,      # ICL voice clone
+    ref_codes: Optional[np.ndarray] = None,       # [T_ref, G]
+    st_params: Optional[dict] = None,             # needed for ICL ref-code embeds
+) -> Prompt:
+    """Build the dual-track prefix for one utterance.
+
+    ``text_ids`` is the full chat-templated id sequence
+    ``[im_start, assistant, \\n, TEXT..., im_end, \\n, im_start, assistant, \\n]``
+    — positions [0:3] are the role header, [3:-5] the content
+    (modeling_qwen3_tts.py:2174-2232; C equivalent c/qwen_tts.c:1147-1243).
+    """
+    tk = cfg.talker
+    text_ids = np.asarray(text_ids, np.int32)
+    if text_ids.ndim != 1 or text_ids.shape[0] < 8:
+        raise ValueError("need the full chat-templated id sequence (>= 8 ids)")
+
+    def etext(ids) -> jnp.ndarray:
+        return talker_mod.embed_text(params, jnp.asarray(np.atleast_1d(ids)))
+
+    def ecodec(ids) -> jnp.ndarray:
+        return talker_mod.embed_codec(params, jnp.asarray(np.atleast_1d(ids)))
+
+    tts_bos, tts_eos, tts_pad = (
+        np.asarray(
+            etext([cfg.tts_bos_token_id, cfg.tts_eos_token_id, cfg.tts_pad_token_id])
+        )
+    )
+
+    # --- speaker slot -----------------------------------------------------
+    spk_vec: Optional[np.ndarray] = None
+    if speaker_embed is not None:
+        spk_vec = np.asarray(speaker_embed, np.float32)
+    elif speaker:
+        sid = tk.speaker_codec_id(speaker)
+        if sid is None:
+            raise ValueError(f"Speaker {speaker!r} not supported")
+        spk_vec = np.asarray(ecodec([sid]))[0]
+
+    # --- language id (incl. dialect override, modeling_qwen3_tts.py:2118-2122)
+    language = (language or "auto").lower()
+    if language == "auto":
+        language_id = None
+    else:
+        language_id = tk.language_codec_id(language)
+        if language_id is None:
+            raise ValueError(f"Language {language!r} not supported")
+    if language in ("chinese", "auto") and speaker:
+        dialect = tk.speaker_dialect(speaker)
+        if dialect:
+            language_id = tk.language_codec_id(dialect)
+
+    # --- codec-track prefix ----------------------------------------------
+    if language_id is None:
+        codec_ids = [tk.codec_nothink_id, tk.codec_think_bos_id, tk.codec_think_eos_id]
+    else:
+        codec_ids = [tk.codec_think_id, tk.codec_think_bos_id, language_id,
+                     tk.codec_think_eos_id]
+    codec_embeds = [np.asarray(ecodec(codec_ids))]
+    if spk_vec is not None:
+        codec_embeds.append(spk_vec[None])
+    codec_embeds.append(np.asarray(ecodec([tk.codec_pad_id, tk.codec_bos_id])))
+    codec_prefix = np.concatenate(codec_embeds, axis=0)  # [n_codec, D]
+    n_codec = codec_prefix.shape[0]
+
+    pieces: List[np.ndarray] = []
+    if instruct_ids is not None and len(instruct_ids) > 0:
+        pieces.append(np.asarray(etext(np.asarray(instruct_ids, np.int32))))
+
+    # role header (3 tokens, text track only)
+    pieces.append(np.asarray(etext(text_ids[:3])))
+
+    # tts_pad × (n_codec - 2) + tts_bos on the text track, summed with the
+    # codec prefix sans its last token (codec_bos).
+    text_track = np.concatenate(
+        [np.repeat(tts_pad[None], n_codec - 2, axis=0), tts_bos[None]], axis=0
+    )
+    pieces.append(text_track + codec_prefix[:-1])
+
+    if ref_codes is not None:
+        # ICL voice clone splice (modeling_qwen3_tts.py:1968-2019).
+        if st_params is None:
+            raise ValueError("ICL prompts need st_params for ref-code embeddings")
+        icl, trailing = _build_icl(
+            params, st_params, cfg, text_ids, np.asarray(ref_ids, np.int32),
+            np.asarray(ref_codes, np.int64), tts_pad, tts_eos, non_streaming,
+        )
+        pieces.append(icl)
+        embeds = np.concatenate(pieces, axis=0)
+        return Prompt(embeds, trailing, tts_pad)
+
+    if non_streaming:
+        # Whole text + tts_eos on the text track, each summed with codec_pad;
+        # then tts_pad + codec_bos (modeling_qwen3_tts.py:2203-2227).
+        content = np.asarray(etext(text_ids[3:-5]))
+        codec_pad = np.asarray(ecodec([tk.codec_pad_id]))[0]
+        codec_bos = codec_prefix[-1]
+        block = np.concatenate([content, tts_eos[None]], axis=0) + codec_pad[None]
+        pieces.append(block)
+        pieces.append((tts_pad + codec_bos)[None])
+        trailing = tts_pad[None]
+    else:
+        # First content token + codec_bos; the rest of the text trails in
+        # during decode (modeling_qwen3_tts.py:2199-2232).
+        first_text = np.asarray(etext(text_ids[3:4]))
+        pieces.append(first_text + codec_prefix[-1:])
+        trailing = np.concatenate(
+            [np.asarray(etext(text_ids[4:-5])), tts_eos[None]], axis=0
+        )
+    embeds = np.concatenate(pieces, axis=0)
+    return Prompt(embeds, trailing, tts_pad)
+
+
+def _build_icl(
+    params: dict,
+    st_params: dict,
+    cfg: TTSConfig,
+    text_ids: np.ndarray,
+    ref_ids: np.ndarray,
+    ref_codes: np.ndarray,
+    tts_pad: np.ndarray,
+    tts_eos: np.ndarray,
+    non_streaming: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ICL voice-clone prefix: ref text ⊕ ref codec Σ-embeddings
+    (modeling_qwen3_tts.py:1968-2019). Returns (icl_embeds, trailing_text)."""
+    tk = cfg.talker
+    text_embed = np.asarray(
+        talker_mod.embed_text(
+            params,
+            jnp.asarray(np.concatenate([ref_ids[3:-2], text_ids[3:-5]])),
+        )
+    )
+    text_embed = np.concatenate([text_embed, tts_eos[None]], axis=0)
+
+    sums = np.asarray(
+        st_mod.embed_groups_sum(
+            st_params,
+            params["codec_embedding"],
+            jnp.asarray(ref_codes),
+        )
+    )
+    codec_bos = np.asarray(
+        talker_mod.embed_codec(params, jnp.asarray([tk.codec_bos_id]))
+    )
+    codec_embed = np.concatenate([codec_bos, sums], axis=0)
+
+    text_lens, codec_lens = text_embed.shape[0], codec_embed.shape[0]
+    if non_streaming:
+        codec_pad = np.asarray(
+            talker_mod.embed_codec(params, jnp.asarray([tk.codec_pad_id]))
+        )[0]
+        icl = np.concatenate(
+            [text_embed + codec_pad[None], codec_embed + tts_pad[None]], axis=0
+        )
+        return icl, tts_pad[None]
+    if text_lens > codec_lens:
+        return text_embed[:codec_lens] + codec_embed, text_embed[codec_lens:]
+    padded = np.concatenate(
+        [text_embed, np.repeat(tts_pad[None], codec_lens - text_lens, axis=0)], axis=0
+    )
+    return padded + codec_embed, tts_pad[None]
+
+
+def batch_prompts(
+    prompts: Sequence[Prompt], bucket: int = 32
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Left-pad prompts into a batch (modeling_qwen3_tts.py:2239-2269).
+
+    Returns (embeds [B,S,D], pad_mask [B,S], trailing [B,T+1,D], lengths [B]).
+    S is rounded up to ``bucket`` so the prefill jit-cache stays small.
+    """
+    lengths = np.array([p.embeds.shape[0] for p in prompts])
+    s = int(np.ceil(lengths.max() / bucket) * bucket)
+    d = prompts[0].embeds.shape[1]
+    b = len(prompts)
+    embeds = np.zeros((b, s, d), prompts[0].embeds.dtype)
+    mask = np.zeros((b, s), bool)
+    for i, p in enumerate(prompts):
+        n = p.embeds.shape[0]
+        embeds[i, s - n :] = p.embeds
+        mask[i, s - n :] = True
+
+    t_max = max(p.trailing_text.shape[0] for p in prompts)
+    trailing = np.zeros((b, t_max + 1, d), prompts[0].trailing_text.dtype)
+    for i, p in enumerate(prompts):
+        n = p.trailing_text.shape[0]
+        trailing[i, :n] = p.trailing_text
+        trailing[i, n:] = p.tts_pad_embed  # pad rows = tts_pad (reference :2256-2268)
+    return embeds, mask, trailing, lengths
+
+
+# --------------------------------------------------------------------------
+# Jitted decode loop
+# --------------------------------------------------------------------------
+
+class GenOutput(NamedTuple):
+    codes: jnp.ndarray     # [B, max_new, G] int32
+    num_gen: jnp.ndarray   # [B] frames generated before EOS
+    stopped: jnp.ndarray   # [B] bool — True if EOS was seen
+
+
+@partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "sampling", "st_sampling", "max_new_tokens"),
+)
+def generate_codes(
+    talker_params: dict,
+    st_params: dict,
+    talker_cfg: TalkerConfig,
+    inputs_embeds: jnp.ndarray,   # [B, S, D] left-padded prefix
+    pad_mask: jnp.ndarray,        # [B, S]
+    trailing: jnp.ndarray,        # [B, T+1, D] padded trailing text
+    *,
+    sampling: SamplingConfig,
+    st_sampling: SamplingConfig,
+    max_new_tokens: int,
+    rng: jax.Array,
+) -> GenOutput:
+    """Prefill + full AR loop, one device program."""
+    b, s, d = inputs_embeds.shape
+    g = talker_cfg.num_code_groups
+    eos_id = talker_cfg.codec_eos_token_id
+    vocab = talker_cfg.vocab_size
+    cache_dtype = talker_params["norm"].dtype
+
+    k_cache, v_cache = talker_mod.alloc_kv_cache(
+        talker_cfg, b, s + max_new_tokens, cache_dtype
+    )
+    pre = talker_mod.talker_prefill(
+        talker_params, talker_cfg, inputs_embeds, pad_mask, k_cache, v_cache
+    )
+
+    n_real = jnp.sum(pad_mask.astype(jnp.int32), axis=-1)       # [B]
+    valid_from = (s - n_real).astype(jnp.int32)                 # left-pad counts
+    suppress = build_suppress_mask(vocab, eos_id)
+
+    trailing_max = trailing.shape[1] - 1
+
+    def process_and_sample(logits, presence, num_sampled, step_rng):
+        logits = apply_suppress_mask(logits, suppress[None])
+        # min_new_tokens: ban EOS until enough tokens were sampled.
+        if sampling.min_new_tokens > 0:
+            ban = num_sampled < sampling.min_new_tokens
+            logits = jnp.where(
+                ban & (jnp.arange(vocab)[None] == eos_id), -1e9, logits
+            )
+        logits = apply_repetition_penalty(logits, presence, sampling.repetition_penalty)
+        return sample_token(logits, sampling, step_rng)
+
+    rng, r0 = jax.random.split(rng)
+    presence0 = jnp.zeros((b, vocab), bool)
+    token0 = process_and_sample(pre.logits, presence0, jnp.int32(0), r0)
+    presence0 = presence0.at[jnp.arange(b), token0].set(True)
+    eos0 = token0 == eos_id
+
+    class _State(NamedTuple):
+        step: jnp.ndarray
+        token: jnp.ndarray
+        hidden: jnp.ndarray
+        k_cache: jnp.ndarray
+        v_cache: jnp.ndarray
+        codes: jnp.ndarray
+        presence: jnp.ndarray
+        eos: jnp.ndarray
+        num_gen: jnp.ndarray
+        rng: jax.Array
+
+    state = _State(
+        step=jnp.int32(0),
+        token=token0,
+        hidden=pre.last_hidden,
+        k_cache=pre.k_cache,
+        v_cache=pre.v_cache,
+        codes=jnp.zeros((b, max_new_tokens, g), jnp.int32),
+        presence=presence0,
+        eos=eos0,
+        num_gen=jnp.zeros((b,), jnp.int32),
+        rng=rng,
+    )
+
+    def cond(st: _State):
+        return (st.step < max_new_tokens) & ~jnp.all(st.eos)
+
+    def body(st: _State) -> _State:
+        rng = jax.random.fold_in(st.rng, st.step)
+        r_sub, r_tok = jax.random.split(rng)
+
+        # 1) sub-talker expands the current token into all groups.
+        frame = st_mod.subtalker_generate(
+            st_params, talker_cfg.code_predictor,
+            talker_params["codec_embedding"], st.hidden, st.token,
+            st_sampling, r_sub,
+        )  # [B, G]
+        active = ~st.eos
+        # Unconditional write: rows past EOS write garbage frames that are
+        # never consumed (per-row trim uses num_gen, which stops advancing).
+        codes = jax.lax.dynamic_update_slice(
+            st.codes, frame[:, None, :], (0, st.step, 0)
+        )
+        num_gen = st.num_gen + active.astype(jnp.int32)
+
+        # 2) next talker input: Σ group embeddings + trailing text / tts_pad.
+        emb = st_mod.embed_groups_sum(
+            st_params, talker_params["codec_embedding"], frame
+        )
+        t_idx = jnp.minimum(st.step, trailing_max)
+        emb = emb + trailing[:, t_idx]
+
+        # 3) talker forward (rope position continues from each row's real len).
+        cur_len = jnp.int32(s) + st.step + 1
+        rope_pos = n_real + st.step
+        logits, hidden, kc, vc = talker_mod.talker_decode_step(
+            talker_params, talker_cfg, emb.astype(inputs_embeds.dtype),
+            rope_pos, st.k_cache, st.v_cache, cur_len, valid_from,
+        )
+
+        # 4) sample the next codebook-0 token.
+        token = process_and_sample(logits, st.presence, st.num_gen + 1, r_tok)
+        token = jnp.where(active, token, st.token)
+        presence = st.presence.at[jnp.arange(b), token].set(True)
+        eos = st.eos | (token == eos_id)
+
+        return _State(
+            step=st.step + 1,
+            token=token,
+            hidden=hidden,
+            k_cache=kc,
+            v_cache=vc,
+            codes=codes,
+            presence=presence,
+            eos=eos,
+            num_gen=num_gen,
+            rng=st.rng,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return GenOutput(final.codes, final.num_gen, final.eos)
