@@ -82,6 +82,10 @@ class TalkerConfig:
     codec_pad_id: int = 4196
     codec_bos_id: int = 4197
     # Speaker / language maps (configuration_qwen3_tts.py:400-402,450-451).
+    # The generation-time token ban covers the last `suppress_tail` vocab ids
+    # except EOS (modeling_qwen3_tts.py:2059-2063) — 1024 in the reference,
+    # leaving exactly [0, codebook_size) as emittable audio tokens.
+    suppress_tail: int = 1024
     spk_id: Tuple[Tuple[str, int], ...] = ()
     spk_is_dialect: Tuple[Tuple[str, str], ...] = ()
     codec_language_id: Tuple[Tuple[str, int], ...] = ()
@@ -137,8 +141,9 @@ class TalkerConfig:
             )
         )
         keys = {f.name for f in dataclasses.fields(cls)}
-        kw = {k: v for k, v in d.items() if k in keys and k not in
-              ("spk_id", "codec_language_id", "code_predictor")}
+        explicit = {"spk_id", "codec_language_id", "code_predictor", "head_dim",
+                    "mrope_section", "mrope_interleaved", "spk_is_dialect"}
+        kw = {k: v for k, v in d.items() if k in keys and k not in explicit}
         return cls(
             head_dim=head_dim,
             mrope_section=mrope_section,
@@ -318,6 +323,7 @@ def tiny_tts_config() -> TTSConfig:
         spk_id=(("aiden", 100), ("serena", 101)),
         spk_is_dialect=(("aiden", ""), ("serena", "")),
         codec_language_id=(("chinese", 200), ("english", 201)),
+        suppress_tail=16,
         code_predictor=CodePredictorConfig(
             vocab_size=128,
             hidden_size=64,
@@ -331,7 +337,7 @@ def tiny_tts_config() -> TTSConfig:
     )
     codec = CodecConfig(
         decoder=CodecDecoderConfig(
-            codebook_size=64,
+            codebook_size=256,
             codebook_dim=32,
             hidden_size=64,
             latent_dim=32,

@@ -335,7 +335,7 @@ def generate_codes(
 
     n_real = jnp.sum(pad_mask.astype(jnp.int32), axis=-1)       # [B]
     valid_from = (s - n_real).astype(jnp.int32)                 # left-pad counts
-    suppress = build_suppress_mask(vocab, eos_id)
+    suppress = build_suppress_mask(vocab, eos_id, tail=talker_cfg.suppress_tail)
 
     trailing_max = trailing.shape[1] - 1
 

@@ -1,0 +1,364 @@
+"""User-facing API mirroring the reference `Qwen3TTSModel`
+(inference/qwen3_tts_model.py): from_pretrained / generate_custom_voice /
+generate_voice_design / generate_voice_clone / get_supported_*.
+
+This is the glue layer: tokenize → build dual-track prompts → one jitted
+prefill+decode program → per-row EOS trim → chunked codec decode → waveforms.
+The hot paths live in generate.py / models/*; everything here is thin host
+orchestration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_tts_tpu.config import TTSConfig
+from qwen_tts_tpu.generate import (
+    GenerationParams,
+    Prompt,
+    batch_prompts,
+    build_prompt,
+    generate_codes,
+)
+from qwen_tts_tpu.io.loader import load_checkpoint
+from qwen_tts_tpu.models import codec as codec_mod
+
+MaybeList = Union[str, List[str]]
+
+_HARD_DEFAULTS = dict(
+    do_sample=True, top_k=50, top_p=1.0, temperature=0.9,
+    repetition_penalty=1.05, subtalker_dosample=True, subtalker_top_k=50,
+    subtalker_top_p=1.0, subtalker_temperature=0.9, max_new_tokens=2048,
+)
+
+
+class Qwen3TTSModel:
+    """TPU-native Qwen3-TTS inference pipeline."""
+
+    def __init__(
+        self,
+        cfg: TTSConfig,
+        talker_params: dict,
+        subtalker_params: dict,
+        codec_params: Optional[dict] = None,
+        tokenizer=None,
+        generate_defaults: Optional[Dict[str, Any]] = None,
+    ):
+        self.cfg = cfg
+        self.talker_params = talker_params
+        self.subtalker_params = subtalker_params
+        self.codec_params = codec_params
+        self.tokenizer = tokenizer
+        self.generate_defaults = generate_defaults or {}
+        self._codec_decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        *,
+        talker_dtype=jnp.bfloat16,
+        codec_dtype=jnp.float32,
+        load_tokenizer: bool = True,
+    ) -> "Qwen3TTSModel":
+        cfg, talker, subtalker, codec = load_checkpoint(
+            model_dir, talker_dtype=talker_dtype, codec_dtype=codec_dtype
+        )
+        tokenizer = None
+        if load_tokenizer:
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(model_dir)
+            except Exception:
+                tokenizer = None  # pre-tokenized-ids path still works
+        gen_defaults: Dict[str, Any] = {}
+        gc_path = os.path.join(model_dir, "generation_config.json")
+        if os.path.exists(gc_path):
+            with open(gc_path, encoding="utf-8") as f:
+                gen_defaults = json.load(f)
+        return cls(cfg, talker, subtalker, codec, tokenizer, gen_defaults)
+
+    # ------------------------------------------------------------------
+    # Introspection (reference: modeling_qwen3_tts.py:1849-1853)
+    # ------------------------------------------------------------------
+
+    def get_supported_speakers(self) -> List[str]:
+        return [name for name, _ in self.cfg.talker.spk_id]
+
+    def get_supported_languages(self) -> List[str]:
+        langs = ["auto"]
+        for name, _ in self.cfg.talker.codec_language_id:
+            if "dialect" not in name:
+                langs.append(name)
+        return langs
+
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.codec.output_sample_rate
+
+    # ------------------------------------------------------------------
+    # Tokenization (reference: qwen3_tts_model.py:269-285)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def build_assistant_text(text: str) -> str:
+        return f"<|im_start|>assistant\n{text}<|im_end|>\n<|im_start|>assistant\n"
+
+    @staticmethod
+    def build_ref_text(text: str) -> str:
+        return f"<|im_start|>assistant\n{text}<|im_end|>\n"
+
+    @staticmethod
+    def build_instruct_text(instruct: str) -> str:
+        return f"<|im_start|>user\n{instruct}<|im_end|>\n"
+
+    def _tokenize(self, text: str) -> np.ndarray:
+        if self.tokenizer is None:
+            raise RuntimeError(
+                "No tokenizer loaded; pass pre-tokenized ids via *_from_ids"
+            )
+        return np.asarray(self.tokenizer(text)["input_ids"], np.int32)
+
+    def _merge_params(self, **user) -> GenerationParams:
+        def pick(name):
+            v = user.get(name)
+            if v is not None:
+                return v
+            if name in self.generate_defaults:
+                return self.generate_defaults[name]
+            return _HARD_DEFAULTS[name]
+
+        return GenerationParams(
+            max_new_tokens=pick("max_new_tokens"),
+            do_sample=pick("do_sample"),
+            top_k=pick("top_k"),
+            top_p=pick("top_p"),
+            temperature=pick("temperature"),
+            repetition_penalty=pick("repetition_penalty"),
+            subtalker_do_sample=pick("subtalker_dosample"),
+            subtalker_top_k=pick("subtalker_top_k"),
+            subtalker_top_p=pick("subtalker_top_p"),
+            subtalker_temperature=pick("subtalker_temperature"),
+            seed=user.get("seed", 0) or 0,
+        )
+
+    # ------------------------------------------------------------------
+    # Core generation
+    # ------------------------------------------------------------------
+
+    def generate_codes_from_prompts(
+        self, prompts: Sequence[Prompt], params: GenerationParams
+    ) -> Tuple[List[np.ndarray], Dict[str, Any]]:
+        """Run the jitted decode loop; returns per-utterance [T_i, G] codes."""
+        embeds, mask, trailing, _ = batch_prompts(prompts)
+        out = generate_codes(
+            self.talker_params,
+            self.subtalker_params,
+            self.cfg.talker,
+            jnp.asarray(embeds, self.talker_params["norm"].dtype),
+            jnp.asarray(mask),
+            jnp.asarray(trailing, self.talker_params["norm"].dtype),
+            sampling=params.talker_sampling(),
+            st_sampling=params.subtalker_sampling(),
+            max_new_tokens=params.max_new_tokens,
+            rng=jax.random.PRNGKey(params.seed),
+        )
+        codes = np.asarray(out.codes)
+        num_gen = np.asarray(out.num_gen)
+        per_row = [codes[i, : num_gen[i]] for i in range(codes.shape[0])]
+        info = {"num_gen": num_gen, "stopped": np.asarray(out.stopped)}
+        return per_row, info
+
+    def decode_codes(self, codes_list: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """[T_i, G] codes → waveforms, batched with -1 padding then trimmed by
+        true length (reference: modeling_...v2.py:993-1024)."""
+        if self.codec_params is None:
+            raise RuntimeError("codec decoder weights not loaded")
+        dec_cfg = self.cfg.codec.decoder
+        nq = dec_cfg.num_quantizers
+        lengths = [c.shape[0] for c in codes_list]
+        if not lengths or max(lengths) == 0:
+            return [np.zeros((0,), np.float32) for _ in codes_list]
+        t_max = max(lengths)
+        batch = np.full((len(codes_list), t_max, nq), -1, np.int32)
+        for i, c in enumerate(codes_list):
+            batch[i, : c.shape[0]] = c[:, :nq]
+        wav = codec_mod.chunked_decode(
+            self.codec_params, dec_cfg, jnp.asarray(batch),
+            decode_fn=self._codec_decode_jit,
+        )
+        wav = np.asarray(wav)
+        up = self.cfg.codec.decode_upsample_rate
+        return [wav[i, : lengths[i] * up] for i in range(len(codes_list))]
+
+    def _generate(
+        self,
+        texts: List[str],
+        speakers: List[Optional[str]],
+        languages: List[str],
+        instructs: Optional[List[Optional[str]]] = None,
+        speaker_embeds: Optional[List[Optional[np.ndarray]]] = None,
+        ref_ids: Optional[List[Optional[np.ndarray]]] = None,
+        ref_codes: Optional[List[Optional[np.ndarray]]] = None,
+        non_streaming: bool = False,
+        **kwargs,
+    ) -> Tuple[List[np.ndarray], int]:
+        params = self._merge_params(**kwargs)
+        prompts = []
+        for i, text in enumerate(texts):
+            ids = self._tokenize(self.build_assistant_text(text))
+            instruct = instructs[i] if instructs else None
+            instr_ids = (
+                self._tokenize(self.build_instruct_text(instruct))
+                if instruct
+                else None
+            )
+            prompts.append(
+                build_prompt(
+                    self.talker_params,
+                    self.cfg,
+                    ids,
+                    language=languages[i],
+                    speaker=speakers[i],
+                    speaker_embed=None if speaker_embeds is None else speaker_embeds[i],
+                    instruct_ids=instr_ids,
+                    non_streaming=non_streaming,
+                    ref_ids=None if ref_ids is None else ref_ids[i],
+                    ref_codes=None if ref_codes is None else ref_codes[i],
+                    st_params=self.subtalker_params,
+                )
+            )
+        codes, _ = self.generate_codes_from_prompts(prompts, params)
+        if ref_codes is not None:
+            # Voice clone: prepend ref codes before decode, cut the
+            # proportional wav prefix after (qwen3_tts_model.py:612-631).
+            merged, cut = [], []
+            for i, c in enumerate(codes):
+                if ref_codes[i] is not None:
+                    rc = np.asarray(ref_codes[i], np.int32)
+                    merged.append(np.concatenate([rc, c], axis=0))
+                    cut.append(rc.shape[0])
+                else:
+                    merged.append(c)
+                    cut.append(0)
+            wavs = self.decode_codes(merged)
+            up = self.cfg.codec.decode_upsample_rate
+            wavs = [w[c * up :] for w, c in zip(wavs, cut)]
+        else:
+            wavs = self.decode_codes(codes)
+        return wavs, self.sample_rate
+
+    # ------------------------------------------------------------------
+    # Public surface (reference: qwen3_tts_model.py:470-878)
+    # ------------------------------------------------------------------
+
+    def generate_custom_voice(
+        self,
+        text: MaybeList,
+        speaker: MaybeList,
+        language: MaybeList = "auto",
+        instruct: Optional[MaybeList] = None,
+        **kwargs,
+    ) -> Tuple[List[np.ndarray], int]:
+        texts = _as_list(text)
+        speakers = _broadcast(_as_list(speaker), len(texts))
+        languages = _broadcast(_as_list(language), len(texts))
+        instructs = _broadcast(_as_list(instruct), len(texts)) if instruct else None
+        if self.cfg.tts_model_size == "0.6b":
+            instructs = None  # 0.6B drops instructions (qwen3_tts_model.py:799-800)
+        self._validate(speakers, languages)
+        return self._generate(texts, speakers, languages, instructs, **kwargs)
+
+    def generate_voice_design(
+        self,
+        text: MaybeList,
+        instruct: MaybeList,
+        language: MaybeList = "auto",
+        **kwargs,
+    ) -> Tuple[List[np.ndarray], int]:
+        texts = _as_list(text)
+        instructs = _broadcast(_as_list(instruct), len(texts))
+        languages = _broadcast(_as_list(language), len(texts))
+        speakers = [None] * len(texts)
+        self._validate(speakers, languages)
+        return self._generate(texts, speakers, languages, instructs, **kwargs)
+
+    def generate_voice_clone(
+        self,
+        text: MaybeList,
+        voice_clone_prompt: Dict[str, Any],
+        language: MaybeList = "auto",
+        **kwargs,
+    ) -> Tuple[List[np.ndarray], int]:
+        """``voice_clone_prompt`` follows the reference dict layout
+        (qwen3_tts_model.py:355-458): ref_code (list of [T,G] arrays or None),
+        ref_spk_embedding (list of x-vectors), ref_text (list of str),
+        icl_mode / x_vector_only_mode (lists of bool)."""
+        texts = _as_list(text)
+        languages = _broadcast(_as_list(language), len(texts))
+        n = len(texts)
+        ref_code = voice_clone_prompt.get("ref_code") or [None] * n
+        spk = voice_clone_prompt.get("ref_spk_embedding") or [None] * n
+        icl = voice_clone_prompt.get("icl_mode") or [True] * n
+        xvec_only = voice_clone_prompt.get("x_vector_only_mode") or [False] * n
+        ref_texts = voice_clone_prompt.get("ref_text") or [None] * n
+
+        speaker_embeds, ref_ids, ref_codes = [], [], []
+        for i in range(n):
+            use_spk = xvec_only[i] or icl[i]
+            speaker_embeds.append(np.asarray(spk[i]) if (use_spk and spk[i] is not None) else None)
+            if icl[i] and ref_code[i] is not None:
+                ref_codes.append(np.asarray(ref_code[i], np.int32))
+                ref_ids.append(self._tokenize(self.build_ref_text(ref_texts[i] or "")))
+            else:
+                ref_codes.append(None)
+                ref_ids.append(None)
+        any_icl = any(c is not None for c in ref_codes)
+        return self._generate(
+            texts, [None] * n, languages,
+            speaker_embeds=speaker_embeds,
+            ref_ids=ref_ids if any_icl else None,
+            ref_codes=ref_codes if any_icl else None,
+            **kwargs,
+        )
+
+    def create_voice_clone_prompt(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Reference-audio encoding (12Hz Mimi encoder + ECAPA-TDNN x-vector) "
+            "lands in a later round; pass precomputed ref_code / "
+            "ref_spk_embedding in the voice_clone_prompt dict meanwhile."
+        )
+
+    def _validate(self, speakers, languages):
+        sup_l = set(self.get_supported_languages())
+        for lang in languages:
+            if lang and lang.lower() not in sup_l:
+                raise NotImplementedError(f"Language {lang} not implemented")
+        sup_s = set(self.get_supported_speakers())
+        for spk in speakers:
+            if spk and spk.lower() not in sup_s:
+                raise NotImplementedError(f"Speaker {spk} not implemented")
+
+
+def _as_list(x) -> List:
+    return x if isinstance(x, list) else [x]
+
+
+def _broadcast(xs: List, n: int) -> List:
+    if len(xs) == 1 and n > 1:
+        return xs * n
+    if len(xs) != n:
+        raise ValueError(f"length mismatch: {len(xs)} vs {n}")
+    return xs

@@ -114,13 +114,20 @@ def test_generate_codes_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(out.codes), np.asarray(out2.codes))
     np.testing.assert_array_equal(np.asarray(out.num_gen), np.asarray(out2.num_gen))
 
+    # Random weights shouldn't instantly EOS now that the suppress tail is
+    # config-scaled — make the assertions below non-vacuous.
+    assert (np.asarray(out.num_gen) > 0).all()
+
     # Codebook-0 tokens must respect the suppress mask (vocab tail banned).
     v = CFG.talker.vocab_size
     cb0 = np.asarray(out.codes[..., 0])
     n = np.asarray(out.num_gen)
     for b in range(2):
         valid = cb0[b, : n[b]]
-        assert ((valid < v - 1024) | (valid == CFG.talker.codec_eos_token_id)).all()
+        assert (
+            (valid < v - CFG.talker.suppress_tail)
+            | (valid == CFG.talker.codec_eos_token_id)
+        ).all()
 
 
 def test_generate_batch_matches_single():
