@@ -1,0 +1,108 @@
+"""End-to-end benchmark on real TPU hardware.
+
+Measures full two-stage synthesis throughput — the jitted talker+sub-talker
+decode loop plus chunked codec decode — at flagship architecture dims
+(random bf16 weights; throughput is weight-value-independent) and reports the
+real-time factor (generated audio seconds per wall second, aggregated over the
+serving batch).
+
+Baseline: the reference C engine's published CPU snapshot (TODO.md:28-29):
+74 tokens in ~11.2 s talker + ~4.16 s codec → 5.92 s audio / 15.36 s ≈ 0.385×
+real time. ``vs_baseline`` is our RTF divided by that.
+
+Prints ONE JSON line:
+  {"metric": "rtf", "value": N, "unit": "x_realtime", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RTF = 0.385  # reference C CPU end-to-end (TODO.md:28-30)
+
+BATCH = 8
+FRAMES = 128           # 128 frames = 10.24 s of audio per stream
+SAMPLES_PER_FRAME = 1920
+SAMPLE_RATE = 24000
+MEASURE_RUNS = 3
+
+
+def main() -> None:
+    from qwen_tts_tpu.config import CodecDecoderConfig, TalkerConfig
+    from qwen_tts_tpu.generate import GenerationParams, generate_codes
+    from qwen_tts_tpu.models import codec as codec_mod
+    from qwen_tts_tpu.models import subtalker as st_mod
+    from qwen_tts_tpu.models import talker as talker_mod
+
+    cfg = TalkerConfig()
+    codec_cfg = CodecDecoderConfig()
+    dtype = jnp.bfloat16
+
+    rng = jax.random.PRNGKey(0)
+    talker_params = talker_mod.init_talker_params(rng, cfg, dtype)
+    st_params = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 1), cfg.code_predictor, cfg.hidden_size, dtype
+    )
+    codec_params = codec_mod.init_codec_params(
+        jax.random.fold_in(rng, 2), codec_cfg, jnp.bfloat16
+    )
+
+    prefill = 32
+    embeds = jax.random.normal(
+        jax.random.fold_in(rng, 3), (BATCH, prefill, cfg.hidden_size), dtype
+    )
+    mask = jnp.ones((BATCH, prefill), bool)
+    trailing = jax.random.normal(
+        jax.random.fold_in(rng, 4), (BATCH, 16, cfg.hidden_size), dtype
+    )
+
+    # Ban EOS for the whole run (min_new_tokens = FRAMES) so every stream
+    # generates exactly FRAMES frames — fixed-token benchmarking, same idea as
+    # the reference's --fixed-codec-tokens mode (c/main.c).
+    gp = GenerationParams(
+        max_new_tokens=FRAMES, min_new_tokens=FRAMES,
+        do_sample=True, subtalker_do_sample=True,
+    )
+    sampling = gp.talker_sampling()
+    st_sampling = gp.subtalker_sampling()
+
+    decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
+
+    def run(seed: int):
+        out = generate_codes(
+            talker_params, st_params, cfg, embeds, mask, trailing,
+            sampling=sampling, st_sampling=st_sampling,
+            max_new_tokens=FRAMES, rng=jax.random.PRNGKey(seed),
+        )
+        codes = jnp.minimum(
+            out.codes[..., : codec_cfg.num_quantizers], codec_cfg.codebook_size - 1
+        )
+        wav = codec_mod.chunked_decode(
+            codec_params, codec_cfg, codes, decode_fn=decode_jit
+        )
+        return jax.block_until_ready(wav)
+
+    run(0)  # warmup / compile
+    t0 = time.perf_counter()
+    for i in range(MEASURE_RUNS):
+        run(i + 1)
+    wall = (time.perf_counter() - t0) / MEASURE_RUNS
+
+    audio_sec = BATCH * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
+    rtf = audio_sec / wall
+    print(json.dumps({
+        "metric": "rtf",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / BASELINE_RTF, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
