@@ -343,16 +343,16 @@ def generate_codes(
         logits = apply_suppress_mask(logits, suppress[None])
         # min_new_tokens: ban EOS until enough tokens were sampled.
         if sampling.min_new_tokens > 0:
-            ban = num_sampled < sampling.min_new_tokens
+            ban = num_sampled < sampling.min_new_tokens      # [B]
             logits = jnp.where(
-                ban & (jnp.arange(vocab)[None] == eos_id), -1e9, logits
+                ban[:, None] & (jnp.arange(vocab)[None] == eos_id), -1e9, logits
             )
         logits = apply_repetition_penalty(logits, presence, sampling.repetition_penalty)
         return sample_token(logits, sampling, step_rng)
 
     rng, r0 = jax.random.split(rng)
     presence0 = jnp.zeros((b, vocab), bool)
-    token0 = process_and_sample(pre.logits, presence0, jnp.int32(0), r0)
+    token0 = process_and_sample(pre.logits, presence0, jnp.zeros((b,), jnp.int32), r0)
     presence0 = presence0.at[jnp.arange(b), token0].set(True)
     eos0 = token0 == eos_id
 
