@@ -293,7 +293,7 @@ def batch_prompts(
 
 
 # --------------------------------------------------------------------------
-# Jitted decode loop
+# Jitted decode loop (batch + resumable streaming segments)
 # --------------------------------------------------------------------------
 
 class GenOutput(NamedTuple):
@@ -302,10 +302,200 @@ class GenOutput(NamedTuple):
     stopped: jnp.ndarray   # [B] bool — True if EOS was seen
 
 
+class DecodeState(NamedTuple):
+    """Carried decode-loop state — device-resident between streaming segments
+    so resuming costs no host transfer."""
+
+    step: jnp.ndarray       # scalar int32 — frames attempted so far
+    token: jnp.ndarray      # [B] current codebook-0 token
+    hidden: jnp.ndarray     # [B, D] talker post-norm hidden
+    k_cache: jnp.ndarray    # [L, B, S_max, KV, hd]
+    v_cache: jnp.ndarray
+    presence: jnp.ndarray   # [B, V] repetition-penalty history
+    eos: jnp.ndarray        # [B]
+    num_gen: jnp.ndarray    # [B]
+    n_real: jnp.ndarray     # [B] unpadded prefix lengths
+    valid_from: jnp.ndarray # [B] left-pad counts
+    rng: jax.Array
+
+
+def _processor(talker_cfg: TalkerConfig, sampling: SamplingConfig):
+    vocab = talker_cfg.vocab_size
+    eos_id = talker_cfg.codec_eos_token_id
+    suppress = build_suppress_mask(vocab, eos_id, tail=talker_cfg.suppress_tail)
+
+    def process_and_sample(logits, presence, num_sampled, step_rng):
+        logits = apply_suppress_mask(logits, suppress[None])
+        if sampling.min_new_tokens > 0:
+            ban = num_sampled < sampling.min_new_tokens      # [B]
+            logits = jnp.where(
+                ban[:, None] & (jnp.arange(vocab)[None] == eos_id), -1e9, logits
+            )
+        logits = apply_repetition_penalty(logits, presence, sampling.repetition_penalty)
+        return sample_token(logits, sampling, step_rng)
+
+    return process_and_sample
+
+
+def _frame_body(
+    talker_params: dict,
+    st_params: dict,
+    talker_cfg: TalkerConfig,
+    sampling: SamplingConfig,
+    st_sampling: SamplingConfig,
+    trailing: jnp.ndarray,
+    prefill_len: int,
+    dtype,
+):
+    """One frame of the AR loop: sub-talker scan → Σ-embed + trailing →
+    talker step → sample. Shared by the one-shot batch loop and the
+    streaming-segment loop."""
+    eos_id = talker_cfg.codec_eos_token_id
+    trailing_max = trailing.shape[1] - 1
+    process_and_sample = _processor(talker_cfg, sampling)
+
+    def body(st: DecodeState) -> Tuple[DecodeState, jnp.ndarray]:
+        rng = jax.random.fold_in(st.rng, st.step)
+        r_sub, r_tok = jax.random.split(rng)
+
+        # 1) sub-talker expands the current token into all groups.
+        frame = st_mod.subtalker_generate(
+            st_params, talker_cfg.code_predictor,
+            talker_params["codec_embedding"], st.hidden, st.token,
+            st_sampling, r_sub,
+        )  # [B, G]
+        active = ~st.eos
+        num_gen = st.num_gen + active.astype(jnp.int32)
+
+        # 2) next talker input: Σ group embeddings + trailing text / tts_pad.
+        emb = st_mod.embed_groups_sum(
+            st_params, talker_params["codec_embedding"], frame
+        )
+        t_idx = jnp.minimum(st.step, trailing_max)
+        emb = emb + trailing[:, t_idx]
+
+        # 3) talker forward (rope position continues from each row's real len).
+        cur_len = jnp.int32(prefill_len) + st.step + 1
+        rope_pos = st.n_real + st.step
+        logits, hidden, kc, vc = talker_mod.talker_decode_step(
+            talker_params, talker_cfg, emb.astype(dtype),
+            rope_pos, st.k_cache, st.v_cache, cur_len, st.valid_from,
+        )
+
+        # 4) sample the next codebook-0 token.
+        token = process_and_sample(logits, st.presence, st.num_gen + 1, r_tok)
+        token = jnp.where(active, token, st.token)
+        presence = st.presence.at[jnp.arange(st.token.shape[0]), token].set(True)
+        eos = st.eos | (token == eos_id)
+
+        new_state = DecodeState(
+            step=st.step + 1, token=token, hidden=hidden,
+            k_cache=kc, v_cache=vc, presence=presence, eos=eos,
+            num_gen=num_gen, n_real=st.n_real, valid_from=st.valid_from,
+            rng=st.rng,
+        )
+        return new_state, frame
+
+    return body
+
+
 @partial(
     jax.jit,
-    static_argnames=("talker_cfg", "sampling", "st_sampling", "max_new_tokens"),
+    static_argnames=("talker_cfg", "sampling", "max_cache_len"),
 )
+def init_decode(
+    talker_params: dict,
+    st_params: dict,
+    talker_cfg: TalkerConfig,
+    inputs_embeds: jnp.ndarray,   # [B, S, D] left-padded prefix
+    pad_mask: jnp.ndarray,        # [B, S]
+    *,
+    sampling: SamplingConfig,
+    max_cache_len: int,
+    rng: jax.Array,
+) -> DecodeState:
+    """Prefill + first-token sample; returns the carried decode state."""
+    b, s, _ = inputs_embeds.shape
+    cache_dtype = talker_params["norm"].dtype
+    k_cache, v_cache = talker_mod.alloc_kv_cache(
+        talker_cfg, b, max_cache_len, cache_dtype
+    )
+    pre = talker_mod.talker_prefill(
+        talker_params, talker_cfg, inputs_embeds, pad_mask, k_cache, v_cache
+    )
+    n_real = jnp.sum(pad_mask.astype(jnp.int32), axis=-1)
+    valid_from = (s - n_real).astype(jnp.int32)
+
+    process_and_sample = _processor(talker_cfg, sampling)
+    rng, r0 = jax.random.split(rng)
+    presence = jnp.zeros((b, talker_cfg.vocab_size), bool)
+    token0 = process_and_sample(
+        pre.logits, presence, jnp.zeros((b,), jnp.int32), r0
+    )
+    presence = presence.at[jnp.arange(b), token0].set(True)
+    return DecodeState(
+        step=jnp.int32(0),
+        token=token0,
+        hidden=pre.last_hidden,
+        k_cache=pre.k_cache,
+        v_cache=pre.v_cache,
+        presence=presence,
+        eos=token0 == talker_cfg.codec_eos_token_id,
+        num_gen=jnp.zeros((b,), jnp.int32),
+        n_real=n_real,
+        valid_from=valid_from,
+        rng=rng,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "sampling", "st_sampling", "segment",
+                     "prefill_len"),
+    donate_argnames=("state",),
+)
+def decode_segment(
+    talker_params: dict,
+    st_params: dict,
+    talker_cfg: TalkerConfig,
+    state: DecodeState,
+    trailing: jnp.ndarray,
+    *,
+    sampling: SamplingConfig,
+    st_sampling: SamplingConfig,
+    segment: int,
+    prefill_len: int,
+) -> Tuple[DecodeState, jnp.ndarray]:
+    """Run up to ``segment`` frames, resumable. Returns (state, seg_codes
+    [B, segment, G]); valid rows/frames are derivable from num_gen deltas.
+    This is the dual-track streaming engine: codes stream out per segment
+    while the KV cache stays device-resident."""
+    b = state.token.shape[0]
+    g = talker_cfg.num_code_groups
+    dtype = talker_params["norm"].dtype
+    body = _frame_body(
+        talker_params, st_params, talker_cfg, sampling, st_sampling,
+        trailing, prefill_len, dtype,
+    )
+    start = state.step
+
+    def cond(carry):
+        st, _ = carry
+        return (st.step - start < segment) & ~jnp.all(st.eos)
+
+    def loop_body(carry):
+        st, buf = carry
+        st2, frame = body(st)
+        buf = jax.lax.dynamic_update_slice(
+            buf, frame[:, None, :], (0, st.step - start, 0)
+        )
+        return st2, buf
+
+    seg_buf = jnp.zeros((b, segment, g), jnp.int32)
+    final, seg_buf = jax.lax.while_loop(cond, loop_body, (state, seg_buf))
+    return final, seg_buf
+
+
 def generate_codes(
     talker_params: dict,
     st_params: dict,
@@ -319,122 +509,15 @@ def generate_codes(
     max_new_tokens: int,
     rng: jax.Array,
 ) -> GenOutput:
-    """Prefill + full AR loop, one device program."""
-    b, s, d = inputs_embeds.shape
-    g = talker_cfg.num_code_groups
-    eos_id = talker_cfg.codec_eos_token_id
-    vocab = talker_cfg.vocab_size
-    cache_dtype = talker_params["norm"].dtype
-
-    k_cache, v_cache = talker_mod.alloc_kv_cache(
-        talker_cfg, b, s + max_new_tokens, cache_dtype
+    """Prefill + full AR loop (one init program + one segment program)."""
+    s = inputs_embeds.shape[1]
+    state = init_decode(
+        talker_params, st_params, talker_cfg, inputs_embeds, pad_mask,
+        sampling=sampling, max_cache_len=s + max_new_tokens, rng=rng,
     )
-    pre = talker_mod.talker_prefill(
-        talker_params, talker_cfg, inputs_embeds, pad_mask, k_cache, v_cache
+    state, codes = decode_segment(
+        talker_params, st_params, talker_cfg, state, trailing,
+        sampling=sampling, st_sampling=st_sampling,
+        segment=max_new_tokens, prefill_len=s,
     )
-
-    n_real = jnp.sum(pad_mask.astype(jnp.int32), axis=-1)       # [B]
-    valid_from = (s - n_real).astype(jnp.int32)                 # left-pad counts
-    suppress = build_suppress_mask(vocab, eos_id, tail=talker_cfg.suppress_tail)
-
-    trailing_max = trailing.shape[1] - 1
-
-    def process_and_sample(logits, presence, num_sampled, step_rng):
-        logits = apply_suppress_mask(logits, suppress[None])
-        # min_new_tokens: ban EOS until enough tokens were sampled.
-        if sampling.min_new_tokens > 0:
-            ban = num_sampled < sampling.min_new_tokens      # [B]
-            logits = jnp.where(
-                ban[:, None] & (jnp.arange(vocab)[None] == eos_id), -1e9, logits
-            )
-        logits = apply_repetition_penalty(logits, presence, sampling.repetition_penalty)
-        return sample_token(logits, sampling, step_rng)
-
-    rng, r0 = jax.random.split(rng)
-    presence0 = jnp.zeros((b, vocab), bool)
-    token0 = process_and_sample(pre.logits, presence0, jnp.zeros((b,), jnp.int32), r0)
-    presence0 = presence0.at[jnp.arange(b), token0].set(True)
-    eos0 = token0 == eos_id
-
-    class _State(NamedTuple):
-        step: jnp.ndarray
-        token: jnp.ndarray
-        hidden: jnp.ndarray
-        k_cache: jnp.ndarray
-        v_cache: jnp.ndarray
-        codes: jnp.ndarray
-        presence: jnp.ndarray
-        eos: jnp.ndarray
-        num_gen: jnp.ndarray
-        rng: jax.Array
-
-    state = _State(
-        step=jnp.int32(0),
-        token=token0,
-        hidden=pre.last_hidden,
-        k_cache=pre.k_cache,
-        v_cache=pre.v_cache,
-        codes=jnp.zeros((b, max_new_tokens, g), jnp.int32),
-        presence=presence0,
-        eos=eos0,
-        num_gen=jnp.zeros((b,), jnp.int32),
-        rng=rng,
-    )
-
-    def cond(st: _State):
-        return (st.step < max_new_tokens) & ~jnp.all(st.eos)
-
-    def body(st: _State) -> _State:
-        rng = jax.random.fold_in(st.rng, st.step)
-        r_sub, r_tok = jax.random.split(rng)
-
-        # 1) sub-talker expands the current token into all groups.
-        frame = st_mod.subtalker_generate(
-            st_params, talker_cfg.code_predictor,
-            talker_params["codec_embedding"], st.hidden, st.token,
-            st_sampling, r_sub,
-        )  # [B, G]
-        active = ~st.eos
-        # Unconditional write: rows past EOS write garbage frames that are
-        # never consumed (per-row trim uses num_gen, which stops advancing).
-        codes = jax.lax.dynamic_update_slice(
-            st.codes, frame[:, None, :], (0, st.step, 0)
-        )
-        num_gen = st.num_gen + active.astype(jnp.int32)
-
-        # 2) next talker input: Σ group embeddings + trailing text / tts_pad.
-        emb = st_mod.embed_groups_sum(
-            st_params, talker_params["codec_embedding"], frame
-        )
-        t_idx = jnp.minimum(st.step, trailing_max)
-        emb = emb + trailing[:, t_idx]
-
-        # 3) talker forward (rope position continues from each row's real len).
-        cur_len = jnp.int32(s) + st.step + 1
-        rope_pos = n_real + st.step
-        logits, hidden, kc, vc = talker_mod.talker_decode_step(
-            talker_params, talker_cfg, emb.astype(inputs_embeds.dtype),
-            rope_pos, st.k_cache, st.v_cache, cur_len, valid_from,
-        )
-
-        # 4) sample the next codebook-0 token.
-        token = process_and_sample(logits, st.presence, st.num_gen + 1, r_tok)
-        token = jnp.where(active, token, st.token)
-        presence = st.presence.at[jnp.arange(b), token].set(True)
-        eos = st.eos | (token == eos_id)
-
-        return _State(
-            step=st.step + 1,
-            token=token,
-            hidden=hidden,
-            k_cache=kc,
-            v_cache=vc,
-            codes=codes,
-            presence=presence,
-            eos=eos,
-            num_gen=num_gen,
-            rng=st.rng,
-        )
-
-    final = jax.lax.while_loop(cond, body, state)
-    return GenOutput(final.codes, final.num_gen, final.eos)
+    return GenOutput(codes, state.num_gen, state.eos)

@@ -25,7 +25,9 @@ from qwen_tts_tpu.generate import (
     Prompt,
     batch_prompts,
     build_prompt,
+    decode_segment,
     generate_codes,
+    init_decode,
 )
 from qwen_tts_tpu.io.loader import load_checkpoint
 from qwen_tts_tpu.models import codec as codec_mod
@@ -333,6 +335,104 @@ class Qwen3TTSModel:
             ref_codes=ref_codes if any_icl else None,
             **kwargs,
         )
+
+    # ------------------------------------------------------------------
+    # Dual-track streaming (BASELINE config #4)
+    # ------------------------------------------------------------------
+
+    def stream_custom_voice(
+        self,
+        text: str,
+        speaker: Optional[str] = None,
+        language: str = "auto",
+        *,
+        first_chunk_frames: int = 4,
+        chunk_frames: int = 25,
+        left_context_frames: int = 25,
+        **kwargs,
+    ):
+        """Generator yielding (wav_chunk, sample_rate) as frames are decoded.
+
+        The architecture is natively streaming (text trails into the decode on
+        the second track, modeling_qwen3_tts.py:1682-1692); here the jitted
+        loop runs in resumable segments — a small first segment for low
+        first-packet latency, then steady chunks — and each segment's codes
+        run through the codec decoder with ``left_context_frames`` of
+        re-decoded context (the reference's chunked_decode pattern,
+        modeling_...v2.py:886-896). KV cache and decode state stay on device
+        between segments.
+        """
+        params = self._merge_params(**kwargs)
+        ids = self._tokenize(self.build_assistant_text(text))
+        prompt = build_prompt(
+            self.talker_params, self.cfg, ids,
+            language=language, speaker=speaker,
+            st_params=self.subtalker_params,
+        )
+        yield from self.stream_from_prompt(
+            prompt, params,
+            first_chunk_frames=first_chunk_frames,
+            chunk_frames=chunk_frames,
+            left_context_frames=left_context_frames,
+        )
+
+    def stream_from_prompt(
+        self,
+        prompt: Prompt,
+        params: GenerationParams,
+        *,
+        first_chunk_frames: int = 4,
+        chunk_frames: int = 25,
+        left_context_frames: int = 25,
+    ):
+        if self.codec_params is None:
+            raise RuntimeError("codec decoder weights not loaded")
+        dec_cfg = self.cfg.codec.decoder
+        nq = dec_cfg.num_quantizers
+        up = self.cfg.codec.decode_upsample_rate
+        dtype = self.talker_params["norm"].dtype
+
+        embeds, mask, trailing, _ = batch_prompts([prompt], bucket=16)
+        s = embeds.shape[1]
+        trailing_j = jnp.asarray(trailing, dtype)
+        state = init_decode(
+            self.talker_params, self.subtalker_params, self.cfg.talker,
+            jnp.asarray(embeds, dtype), jnp.asarray(mask),
+            sampling=params.talker_sampling(),
+            max_cache_len=s + params.max_new_tokens,
+            rng=jax.random.PRNGKey(params.seed),
+        )
+
+        history = np.zeros((0, nq), np.int32)
+        emitted = 0
+        while True:
+            remaining = params.max_new_tokens - int(np.asarray(state.step))
+            if remaining <= 0 or bool(np.asarray(state.eos).all()):
+                break
+            segment = first_chunk_frames if emitted == 0 else chunk_frames
+            segment = min(segment, max(remaining, 1))
+            prev_gen = int(np.asarray(state.num_gen)[0])
+            state, seg_codes = decode_segment(
+                self.talker_params, self.subtalker_params, self.cfg.talker,
+                state, trailing_j,
+                sampling=params.talker_sampling(),
+                st_sampling=params.subtalker_sampling(),
+                segment=segment, prefill_len=s,
+            )
+            new_gen = int(np.asarray(state.num_gen)[0])
+            fresh = new_gen - prev_gen
+            if fresh <= 0:
+                break
+            history = np.concatenate(
+                [history, np.asarray(seg_codes)[0, :fresh, :nq]], axis=0
+            )
+            ctx = min(left_context_frames, emitted)
+            window = jnp.asarray(history[emitted - ctx :][None])
+            wav = np.asarray(
+                self._codec_decode_jit(self.codec_params, dec_cfg, window)
+            )[0, ctx * up :]
+            emitted = new_gen
+            yield wav, self.sample_rate
 
     def create_voice_clone_prompt(self, *args, **kwargs):
         raise NotImplementedError(
