@@ -300,17 +300,25 @@ def load_checkpoint(
     talker_dtype=jnp.bfloat16,
     codec_dtype=jnp.float32,
 ):
-    """Load a full checkpoint directory. Returns (cfg, talker, subtalker, codec).
+    """Load a full checkpoint directory.
 
-    The codec lives under ``speech_tokenizer/`` as in the reference layout
+    Returns (cfg, talker, subtalker, codec, speaker_encoder) — the codec lives
+    under ``speech_tokenizer/`` as in the reference layout
     (c/qwen_tts.c:771-815); a missing codec is tolerated (talker-only use),
-    matching the reference's graceful degradation (c/qwen_tts.c:904-907).
+    matching the reference's graceful degradation (c/qwen_tts.c:904-907). The
+    speaker encoder is present on Base checkpoints only
+    (modeling_qwen3_tts.py:1822-1825).
     """
     if cfg is None:
         cfg = TTSConfig.from_pretrained(model_dir)
     st = MultiSafeTensors(model_dir)
     talker = load_talker(st, cfg.talker, talker_dtype)
     subtalker = load_subtalker(st, cfg.talker, talker_dtype)
+    speaker = None
+    if "speaker_encoder.blocks.0.conv.weight" in st:
+        from qwen_tts_tpu.models.speaker import load_speaker_encoder
+
+        speaker = load_speaker_encoder(st, cfg.speaker_encoder)
     codec = None
     codec_dir = os.path.join(model_dir, "speech_tokenizer")
     if os.path.isdir(codec_dir):
@@ -322,4 +330,4 @@ def load_checkpoint(
             codec = load_codec(st_codec, cfg.codec.decoder, codec_dtype)
             st_codec.close()
     st.close()
-    return cfg, talker, subtalker, codec
+    return cfg, talker, subtalker, codec, speaker

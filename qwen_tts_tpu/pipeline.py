@@ -52,11 +52,13 @@ class Qwen3TTSModel:
         codec_params: Optional[dict] = None,
         tokenizer=None,
         generate_defaults: Optional[Dict[str, Any]] = None,
+        speaker_params: Optional[dict] = None,
     ):
         self.cfg = cfg
         self.talker_params = talker_params
         self.subtalker_params = subtalker_params
         self.codec_params = codec_params
+        self.speaker_params = speaker_params
         self.tokenizer = tokenizer
         self.generate_defaults = generate_defaults or {}
         self._codec_decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
@@ -74,7 +76,7 @@ class Qwen3TTSModel:
         codec_dtype=jnp.float32,
         load_tokenizer: bool = True,
     ) -> "Qwen3TTSModel":
-        cfg, talker, subtalker, codec = load_checkpoint(
+        cfg, talker, subtalker, codec, speaker = load_checkpoint(
             model_dir, talker_dtype=talker_dtype, codec_dtype=codec_dtype
         )
         tokenizer = None
@@ -90,7 +92,8 @@ class Qwen3TTSModel:
         if os.path.exists(gc_path):
             with open(gc_path, encoding="utf-8") as f:
                 gen_defaults = json.load(f)
-        return cls(cfg, talker, subtalker, codec, tokenizer, gen_defaults)
+        return cls(cfg, talker, subtalker, codec, tokenizer, gen_defaults,
+                   speaker_params=speaker)
 
     # ------------------------------------------------------------------
     # Introspection (reference: modeling_qwen3_tts.py:1849-1853)
@@ -434,12 +437,54 @@ class Qwen3TTSModel:
             emitted = new_gen
             yield wav, self.sample_rate
 
-    def create_voice_clone_prompt(self, *args, **kwargs):
-        raise NotImplementedError(
-            "Reference-audio encoding (12Hz Mimi encoder + ECAPA-TDNN x-vector) "
-            "lands in a later round; pass precomputed ref_code / "
-            "ref_spk_embedding in the voice_clone_prompt dict meanwhile."
+    def extract_speaker_embedding(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """24 kHz mono waveform → 1024-d x-vector
+        (modeling_qwen3_tts.py:1940-1954)."""
+        if self.speaker_params is None:
+            raise RuntimeError("this checkpoint has no speaker encoder (not a Base model)")
+        if sr != self.cfg.speaker_encoder.sample_rate:
+            raise ValueError(f"Only {self.cfg.speaker_encoder.sample_rate} Hz audio supported")
+        from qwen_tts_tpu.models.speaker import mel_spectrogram, speaker_encoder_forward
+
+        mels = mel_spectrogram(
+            jnp.asarray(np.asarray(audio, np.float32)[None]),
+            n_fft=1024, num_mels=self.cfg.speaker_encoder.mel_dim,
+            sampling_rate=sr, hop_size=256, win_size=1024, fmin=0, fmax=12000,
         )
+        xvec = speaker_encoder_forward(
+            self.speaker_params, self.cfg.speaker_encoder, mels
+        )
+        return np.asarray(xvec)[0]
+
+    def create_voice_clone_prompt(
+        self,
+        ref_audio,
+        ref_text: Optional[MaybeList] = None,
+        *,
+        sample_rate: int = 24000,
+        x_vector_only_mode: bool = False,
+        icl_mode: bool = True,
+    ) -> Dict[str, Any]:
+        """Build a voice-clone prompt dict (reference layout,
+        qwen3_tts_model.py:355-458). The x-vector path runs natively; the ICL
+        ref-code path needs the 12 Hz Mimi *encoder*, which lands in a later
+        round — pass precomputed ``ref_code`` arrays meanwhile."""
+        audios = ref_audio if isinstance(ref_audio, list) else [ref_audio]
+        ref_texts = _broadcast(_as_list(ref_text), len(audios)) if ref_text else [None] * len(audios)
+        if icl_mode and not x_vector_only_mode:
+            raise NotImplementedError(
+                "ICL ref-code encoding needs the 12Hz Mimi encoder (next round); "
+                "use x_vector_only_mode=True or pass precomputed ref_code."
+            )
+        spk = [self.extract_speaker_embedding(np.asarray(a, np.float32), sample_rate)
+               for a in audios]
+        return {
+            "ref_code": [None] * len(audios),
+            "ref_spk_embedding": spk,
+            "ref_text": ref_texts,
+            "icl_mode": [False] * len(audios),
+            "x_vector_only_mode": [True] * len(audios),
+        }
 
     def _validate(self, speakers, languages):
         sup_l = set(self.get_supported_languages())
