@@ -41,7 +41,7 @@ def test_safetensors_zero_copy_and_shapes(ckpt):
 
 def test_loader_layouts_and_precompute(ckpt):
     model_dir, cfg = ckpt
-    _, talker, subtalker, codec = load_checkpoint(
+    _, talker, subtalker, codec, _spk = load_checkpoint(
         model_dir, talker_dtype=jnp.float32
     )
     st = MultiSafeTensors(model_dir)
