@@ -34,6 +34,9 @@ MEASURE_RUNS = 3
 
 
 def main() -> None:
+    from qwen_tts_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from qwen_tts_tpu.config import CodecDecoderConfig, TalkerConfig
     from qwen_tts_tpu.generate import GenerationParams, generate_codes
     from qwen_tts_tpu.models import codec as codec_mod

@@ -399,9 +399,33 @@ def _frame_body(
     return body
 
 
+def _segment_loop(body, state: DecodeState, segment: int, step_limit, g: int):
+    """Shared bounded loop: run up to ``segment`` frames (capped by the
+    dynamic ``step_limit``), collecting frames into a [B, segment, G] buffer."""
+    b = state.token.shape[0]
+    start = state.step
+
+    def cond(carry):
+        st, _ = carry
+        return ((st.step - start < segment) & (st.step < step_limit)
+                & ~jnp.all(st.eos))
+
+    def loop_body(carry):
+        st, buf = carry
+        st2, frame = body(st)
+        buf = jax.lax.dynamic_update_slice(
+            buf, frame[:, None, :], (0, st.step - start, 0)
+        )
+        return st2, buf
+
+    seg_buf = jnp.zeros((b, segment, g), jnp.int32)
+    return jax.lax.while_loop(cond, loop_body, (state, seg_buf))
+
+
 @partial(
     jax.jit,
-    static_argnames=("talker_cfg", "sampling", "max_cache_len"),
+    static_argnames=("talker_cfg", "sampling", "st_sampling", "max_cache_len",
+                     "first_segment"),
 )
 def init_decode(
     talker_params: dict,
@@ -413,8 +437,16 @@ def init_decode(
     sampling: SamplingConfig,
     max_cache_len: int,
     rng: jax.Array,
-) -> DecodeState:
-    """Prefill + first-token sample; returns the carried decode state."""
+    st_sampling: Optional[SamplingConfig] = None,
+    first_segment: int = 0,
+    trailing: Optional[jnp.ndarray] = None,
+    step_limit: Optional[jnp.ndarray] = None,
+):
+    """Prefill + first-token sample; returns the carried decode state.
+
+    With ``first_segment > 0`` (requires ``trailing``/``st_sampling``), the
+    first frames run inside the same program — one device dispatch from
+    request to first codes, which is what bounds first-packet latency."""
     b, s, _ = inputs_embeds.shape
     cache_dtype = talker_params["norm"].dtype
     k_cache, v_cache = talker_mod.alloc_kv_cache(
@@ -433,7 +465,7 @@ def init_decode(
         pre.logits, presence, jnp.zeros((b,), jnp.int32), r0
     )
     presence = presence.at[jnp.arange(b), token0].set(True)
-    return DecodeState(
+    state = DecodeState(
         step=jnp.int32(0),
         token=token0,
         hidden=pre.last_hidden,
@@ -446,6 +478,16 @@ def init_decode(
         valid_from=valid_from,
         rng=rng,
     )
+    if first_segment <= 0:
+        return state
+    body = _frame_body(
+        talker_params, st_params, talker_cfg, sampling, st_sampling,
+        trailing, s, talker_params["norm"].dtype,
+    )
+    if step_limit is None:
+        step_limit = jnp.int32(first_segment)
+    return _segment_loop(body, state, first_segment, step_limit,
+                         talker_cfg.num_code_groups)
 
 
 @partial(
@@ -465,35 +507,25 @@ def decode_segment(
     st_sampling: SamplingConfig,
     segment: int,
     prefill_len: int,
+    step_limit: Optional[jnp.ndarray] = None,
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """Run up to ``segment`` frames, resumable. Returns (state, seg_codes
     [B, segment, G]); valid rows/frames are derivable from num_gen deltas.
     This is the dual-track streaming engine: codes stream out per segment
-    while the KV cache stays device-resident."""
-    b = state.token.shape[0]
-    g = talker_cfg.num_code_groups
+    while the KV cache stays device-resident.
+
+    ``step_limit`` is a *dynamic* global cap on total frames (max_new_tokens)
+    so a trailing partial segment reuses the compiled steady-segment program
+    instead of triggering a new shape."""
     dtype = talker_params["norm"].dtype
     body = _frame_body(
         talker_params, st_params, talker_cfg, sampling, st_sampling,
         trailing, prefill_len, dtype,
     )
-    start = state.step
-
-    def cond(carry):
-        st, _ = carry
-        return (st.step - start < segment) & ~jnp.all(st.eos)
-
-    def loop_body(carry):
-        st, buf = carry
-        st2, frame = body(st)
-        buf = jax.lax.dynamic_update_slice(
-            buf, frame[:, None, :], (0, st.step - start, 0)
-        )
-        return st2, buf
-
-    seg_buf = jnp.zeros((b, segment, g), jnp.int32)
-    final, seg_buf = jax.lax.while_loop(cond, loop_body, (state, seg_buf))
-    return final, seg_buf
+    if step_limit is None:
+        step_limit = state.step + segment
+    return _segment_loop(body, state, segment, step_limit,
+                         talker_cfg.num_code_groups)
 
 
 def generate_codes(
@@ -509,15 +541,12 @@ def generate_codes(
     max_new_tokens: int,
     rng: jax.Array,
 ) -> GenOutput:
-    """Prefill + full AR loop (one init program + one segment program)."""
+    """Prefill + full AR loop — ONE device program (fused init + segment)."""
     s = inputs_embeds.shape[1]
-    state = init_decode(
+    state, codes = init_decode(
         talker_params, st_params, talker_cfg, inputs_embeds, pad_mask,
-        sampling=sampling, max_cache_len=s + max_new_tokens, rng=rng,
-    )
-    state, codes = decode_segment(
-        talker_params, st_params, talker_cfg, state, trailing,
         sampling=sampling, st_sampling=st_sampling,
-        segment=max_new_tokens, prefill_len=s,
+        max_cache_len=s + max_new_tokens, rng=rng,
+        first_segment=max_new_tokens, trailing=trailing,
     )
     return GenOutput(codes, state.num_gen, state.eos)

@@ -349,7 +349,7 @@ class Qwen3TTSModel:
         speaker: Optional[str] = None,
         language: str = "auto",
         *,
-        first_chunk_frames: int = 4,
+        first_chunk_frames: int = 2,
         chunk_frames: int = 25,
         left_context_frames: int = 25,
         **kwargs,
@@ -384,7 +384,7 @@ class Qwen3TTSModel:
         prompt: Prompt,
         params: GenerationParams,
         *,
-        first_chunk_frames: int = 4,
+        first_chunk_frames: int = 2,
         chunk_frames: int = 25,
         left_context_frames: int = 25,
     ):
@@ -398,44 +398,61 @@ class Qwen3TTSModel:
         embeds, mask, trailing, _ = batch_prompts([prompt], bucket=16)
         s = embeds.shape[1]
         trailing_j = jnp.asarray(trailing, dtype)
-        state = init_decode(
+        step_limit = jnp.int32(params.max_new_tokens)
+        # Fused prefill + first segment: one device dispatch to first codes.
+        state, seg_codes = init_decode(
             self.talker_params, self.subtalker_params, self.cfg.talker,
             jnp.asarray(embeds, dtype), jnp.asarray(mask),
             sampling=params.talker_sampling(),
+            st_sampling=params.subtalker_sampling(),
             max_cache_len=s + params.max_new_tokens,
             rng=jax.random.PRNGKey(params.seed),
+            first_segment=min(first_chunk_frames, params.max_new_tokens),
+            trailing=trailing_j, step_limit=step_limit,
         )
 
         history = np.zeros((0, nq), np.int32)
         emitted = 0
+        prev_gen = 0
         while True:
-            remaining = params.max_new_tokens - int(np.asarray(state.step))
-            if remaining <= 0 or bool(np.asarray(state.eos).all()):
+            new_gen = int(np.asarray(state.num_gen)[0])
+            fresh = new_gen - prev_gen
+            if fresh > 0:
+                history = np.concatenate(
+                    [history, np.asarray(seg_codes)[0, :fresh, :nq]], axis=0
+                )
+                ctx = min(left_context_frames, emitted)
+                # Fixed-shape codec windows (right-padded): the decoder is
+                # fully causal, so trailing pad frames never affect the
+                # emitted region — two compiled codec programs total (tight
+                # first-packet window + steady window).
+                if emitted == 0:
+                    window_len = first_chunk_frames
+                else:
+                    window_len = left_context_frames + chunk_frames
+                window = np.zeros((1, window_len, nq), np.int32)
+                window[0, : ctx + fresh] = history[emitted - ctx :]
+                wav = np.asarray(
+                    self._codec_decode_jit(self.codec_params, dec_cfg,
+                                           jnp.asarray(window))
+                )[0, ctx * up : (ctx + fresh) * up]
+                emitted = new_gen
+                prev_gen = new_gen
+                yield wav, self.sample_rate
+            done = (
+                fresh <= 0
+                or bool(np.asarray(state.eos).all())
+                or int(np.asarray(state.step)) >= params.max_new_tokens
+            )
+            if done:
                 break
-            segment = first_chunk_frames if emitted == 0 else chunk_frames
-            segment = min(segment, max(remaining, 1))
-            prev_gen = int(np.asarray(state.num_gen)[0])
             state, seg_codes = decode_segment(
                 self.talker_params, self.subtalker_params, self.cfg.talker,
                 state, trailing_j,
                 sampling=params.talker_sampling(),
                 st_sampling=params.subtalker_sampling(),
-                segment=segment, prefill_len=s,
+                segment=chunk_frames, prefill_len=s, step_limit=step_limit,
             )
-            new_gen = int(np.asarray(state.num_gen)[0])
-            fresh = new_gen - prev_gen
-            if fresh <= 0:
-                break
-            history = np.concatenate(
-                [history, np.asarray(seg_codes)[0, :fresh, :nq]], axis=0
-            )
-            ctx = min(left_context_frames, emitted)
-            window = jnp.asarray(history[emitted - ctx :][None])
-            wav = np.asarray(
-                self._codec_decode_jit(self.codec_params, dec_cfg, window)
-            )[0, ctx * up :]
-            emitted = new_gen
-            yield wav, self.sample_rate
 
     def extract_speaker_embedding(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """24 kHz mono waveform → 1024-d x-vector
