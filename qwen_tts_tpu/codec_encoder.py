@@ -1,0 +1,99 @@
+"""12 Hz speech-tokenizer *encode* path: waveform → [T, Q] codec codes.
+
+The reference's encoder is the public HuggingFace Mimi model with its decoder
+halves nulled out (Qwen3TTSTokenizerV2Encoder,
+modeling_qwen3_tts_tokenizer_v2.py:899-908) — so, exactly like the reference,
+this wrapper drives `transformers.MimiModel`. It is a cold path (voice-clone
+prompt creation and finetuning data prep), runs on CPU torch, and keeps the
+reference's trim semantics (encode keeps the first
+``encoder_valid_num_quantizers`` codebooks and trims by the padding mask,
+modeling_...v2.py:961-991). A JAX/Pallas port of the encoder is roadmapped for
+a later round; nothing in the synthesis hot path depends on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class SpeechTokenizerEncoder:
+    def __init__(self, mimi_model, valid_num_quantizers: int,
+                 input_sample_rate: int, downsample_rate: int):
+        self.model = mimi_model
+        self.valid_num_quantizers = valid_num_quantizers
+        self.input_sample_rate = input_sample_rate
+        self.downsample_rate = downsample_rate
+
+    @classmethod
+    def from_pretrained(cls, speech_tokenizer_dir: str) -> "SpeechTokenizerEncoder":
+        import torch
+        from transformers import MimiConfig, MimiModel
+
+        with open(os.path.join(speech_tokenizer_dir, "config.json"),
+                  encoding="utf-8") as f:
+            cfg = json.load(f)
+        enc_cfg = MimiConfig(**(cfg.get("encoder_config") or {}))
+        model = MimiModel(enc_cfg)
+
+        from qwen_tts_tpu.io.safetensors import MultiSafeTensors
+
+        st = MultiSafeTensors(speech_tokenizer_dir)
+        state = {}
+        for name in st.keys():
+            if name.startswith("encoder."):
+                state[name[len("encoder."):]] = torch.from_numpy(
+                    np.asarray(st.get_f32(name)).copy()
+                )
+        st.close()
+        missing, unexpected = model.load_state_dict(state, strict=False)
+        # Decoder halves are intentionally absent (nulled in the reference).
+        model.eval()
+        return cls(
+            model,
+            valid_num_quantizers=cfg.get("encoder_valid_num_quantizers", 16),
+            input_sample_rate=cfg.get("input_sample_rate", 24000),
+            downsample_rate=cfg.get("encode_downsample_rate", 1920),
+        )
+
+    def encode(
+        self, wavs: Sequence[np.ndarray], sample_rate: int
+    ) -> List[np.ndarray]:
+        """Each waveform → [T_i, Q] int32 codes (per-sample, unpadded)."""
+        import torch
+
+        if sample_rate != self.input_sample_rate:
+            wavs = [resample_linear(w, sample_rate, self.input_sample_rate)
+                    for w in wavs]
+        lengths = [w.shape[0] for w in wavs]
+        max_len = max(lengths)
+        batch = np.zeros((len(wavs), max_len), np.float32)
+        mask = np.zeros((len(wavs), max_len), np.int64)
+        for i, w in enumerate(wavs):
+            batch[i, : w.shape[0]] = w
+            mask[i, : w.shape[0]] = 1
+        with torch.inference_mode():
+            out = self.model.encode(
+                input_values=torch.from_numpy(batch).unsqueeze(1),
+                return_dict=True,
+            )
+        codes = out.audio_codes[:, : self.valid_num_quantizers]  # [B, Q, T]
+        result = []
+        for i, n in enumerate(lengths):
+            t = -(-n // self.downsample_rate)  # ceil
+            result.append(
+                codes[i, :, :t].transpose(0, 1).cpu().numpy().astype(np.int32)
+            )
+        return result
+
+
+def resample_linear(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Simple linear-interpolation resampler (librosa-free cold path)."""
+    if sr_in == sr_out:
+        return np.asarray(wav, np.float32)
+    n_out = int(round(wav.shape[0] * sr_out / sr_in))
+    x_out = np.linspace(0.0, wav.shape[0] - 1, n_out)
+    return np.interp(x_out, np.arange(wav.shape[0]), wav).astype(np.float32)

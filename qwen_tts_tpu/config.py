@@ -354,4 +354,15 @@ def tiny_tts_config() -> TTSConfig:
         decode_upsample_rate=48,
         encode_downsample_rate=48,
     )
-    return TTSConfig(talker=talker, codec=codec, tts_model_type="custom_voice")
+    speaker = SpeakerEncoderConfig(
+        mel_dim=16,
+        enc_dim=64,  # == talker hidden: the x-vector fills a codec slot
+        enc_channels=(32, 32, 32, 32, 96),
+        enc_kernel_sizes=(5, 3, 3, 3, 1),
+        enc_dilations=(1, 2, 3, 4, 1),
+        enc_attention_channels=16,
+        enc_res2net_scale=4,
+        enc_se_channels=16,
+    )
+    return TTSConfig(talker=talker, codec=codec, speaker_encoder=speaker,
+                     tts_model_type="custom_voice")

@@ -61,7 +61,22 @@ class Qwen3TTSModel:
         self.speaker_params = speaker_params
         self.tokenizer = tokenizer
         self.generate_defaults = generate_defaults or {}
+        self.model_dir: Optional[str] = None
+        self._speech_encoder = None
         self._codec_decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
+
+    @property
+    def speech_encoder(self):
+        """Lazy 12 Hz encode path (voice-clone prompts / data prep)."""
+        if self._speech_encoder is None:
+            if self.model_dir is None:
+                raise RuntimeError("no model_dir — load via from_pretrained")
+            from qwen_tts_tpu.codec_encoder import SpeechTokenizerEncoder
+
+            self._speech_encoder = SpeechTokenizerEncoder.from_pretrained(
+                os.path.join(self.model_dir, "speech_tokenizer")
+            )
+        return self._speech_encoder
 
     # ------------------------------------------------------------------
     # Construction
@@ -92,8 +107,10 @@ class Qwen3TTSModel:
         if os.path.exists(gc_path):
             with open(gc_path, encoding="utf-8") as f:
                 gen_defaults = json.load(f)
-        return cls(cfg, talker, subtalker, codec, tokenizer, gen_defaults,
-                   speaker_params=speaker)
+        obj = cls(cfg, talker, subtalker, codec, tokenizer, gen_defaults,
+                  speaker_params=speaker)
+        obj.model_dir = model_dir
+        return obj
 
     # ------------------------------------------------------------------
     # Introspection (reference: modeling_qwen3_tts.py:1849-1853)
@@ -483,24 +500,27 @@ class Qwen3TTSModel:
         icl_mode: bool = True,
     ) -> Dict[str, Any]:
         """Build a voice-clone prompt dict (reference layout,
-        qwen3_tts_model.py:355-458). The x-vector path runs natively; the ICL
-        ref-code path needs the 12 Hz Mimi *encoder*, which lands in a later
-        round — pass precomputed ``ref_code`` arrays meanwhile."""
+        qwen3_tts_model.py:355-458): encode reference audio to codec codes via
+        the 12 Hz encoder (ICL mode) and extract the ECAPA-TDNN x-vector."""
         audios = ref_audio if isinstance(ref_audio, list) else [ref_audio]
-        ref_texts = _broadcast(_as_list(ref_text), len(audios)) if ref_text else [None] * len(audios)
-        if icl_mode and not x_vector_only_mode:
-            raise NotImplementedError(
-                "ICL ref-code encoding needs the 12Hz Mimi encoder (next round); "
-                "use x_vector_only_mode=True or pass precomputed ref_code."
-            )
-        spk = [self.extract_speaker_embedding(np.asarray(a, np.float32), sample_rate)
-               for a in audios]
+        audios = [np.asarray(a, np.float32) for a in audios]
+        n = len(audios)
+        ref_texts = _broadcast(_as_list(ref_text), n) if ref_text else [None] * n
+
+        use_icl = icl_mode and not x_vector_only_mode
+        if use_icl:
+            ref_codes = self.speech_encoder.encode(audios, sample_rate)
+        else:
+            ref_codes = [None] * n
+        spk = [
+            self.extract_speaker_embedding(a, sample_rate) for a in audios
+        ] if self.speaker_params is not None else [None] * n
         return {
-            "ref_code": [None] * len(audios),
+            "ref_code": ref_codes,
             "ref_spk_embedding": spk,
             "ref_text": ref_texts,
-            "icl_mode": [False] * len(audios),
-            "x_vector_only_mode": [True] * len(audios),
+            "icl_mode": [use_icl] * n,
+            "x_vector_only_mode": [not use_icl] * n,
         }
 
     def _validate(self, speakers, languages):

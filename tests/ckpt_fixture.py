@@ -18,7 +18,59 @@ def _w(rng, *shape):
     return (rng.standard_normal(shape) / np.sqrt(shape[-1])).astype(np.float32)
 
 
-def make_checkpoint(model_dir: str, cfg: TTSConfig | None = None) -> TTSConfig:
+TINY_MIMI_CONFIG = dict(
+    sampling_rate=24000,
+    audio_channels=1,
+    hidden_size=32,
+    num_filters=8,
+    num_residual_layers=1,
+    upsampling_ratios=[4, 3, 2],
+    codebook_size=128,
+    codebook_dim=16,
+    num_quantizers=8,  # == tiny num_code_groups so ICL ref codes line up
+    use_causal_conv=True,
+    num_hidden_layers=1,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    head_dim=8,
+    intermediate_size=64,
+    sliding_window=16,
+    vector_quantization_hidden_dimension=16,
+    num_semantic_quantizers=1,
+    upsample_groups=32,
+)
+
+
+def _speaker_encoder_tensors(rng, cfg: TTSConfig) -> dict:
+    """Tiny ECAPA-TDNN weights under the reference's speaker_encoder.* names."""
+    se = cfg.speaker_encoder
+    t = {}
+
+    def conv(name, cin, cout, k):
+        t[f"speaker_encoder.{name}.weight"] = _w(rng, cout, cin, k)
+        t[f"speaker_encoder.{name}.bias"] = _w(rng, cout)
+
+    ch, ks = se.enc_channels, se.enc_kernel_sizes
+    conv("blocks.0.conv", se.mel_dim, ch[0], ks[0])
+    for i in range(1, len(ch) - 1):
+        scale = se.enc_res2net_scale
+        conv(f"blocks.{i}.tdnn1.conv", ch[i - 1], ch[i], 1)
+        for j in range(scale - 1):
+            conv(f"blocks.{i}.res2net_block.blocks.{j}.conv",
+                 ch[i] // scale, ch[i] // scale, ks[i])
+        conv(f"blocks.{i}.tdnn2.conv", ch[i], ch[i], 1)
+        conv(f"blocks.{i}.se_block.conv1", ch[i], se.enc_se_channels, 1)
+        conv(f"blocks.{i}.se_block.conv2", se.enc_se_channels, ch[i], 1)
+    conv("mfa.conv", sum(ch[1:-1]), ch[-1], ks[-1])
+    conv("asp.tdnn.conv", ch[-1] * 3, se.enc_attention_channels, 1)
+    conv("asp.conv", se.enc_attention_channels, ch[-1], 1)
+    conv("fc", ch[-1] * 2, se.enc_dim, 1)
+    return t
+
+
+def make_checkpoint(
+    model_dir: str, cfg: TTSConfig | None = None, *, with_encoders: bool = False
+) -> TTSConfig:
     cfg = cfg or tiny_tts_config()
     tk, cp, dec = cfg.talker, cfg.talker.code_predictor, cfg.codec.decoder
     rng = np.random.default_rng(42)
@@ -65,6 +117,9 @@ def make_checkpoint(model_dir: str, cfg: TTSConfig | None = None) -> TTSConfig:
             rng, cp.vocab_size, cp.hidden_size
         )
 
+    if with_encoders:
+        t.update(_speaker_encoder_tensors(rng, cfg))
+
     os.makedirs(model_dir, exist_ok=True)
     save_file(t, os.path.join(model_dir, "model.safetensors"))
 
@@ -104,10 +159,23 @@ def make_checkpoint(model_dir: str, cfg: TTSConfig | None = None) -> TTSConfig:
             "num_code_groups": cp.num_code_groups,
         },
     }
+    se = cfg.speaker_encoder
+    speaker_cfg = {
+        "mel_dim": se.mel_dim,
+        "enc_dim": se.enc_dim,
+        "enc_channels": list(se.enc_channels),
+        "enc_kernel_sizes": list(se.enc_kernel_sizes),
+        "enc_dilations": list(se.enc_dilations),
+        "enc_attention_channels": se.enc_attention_channels,
+        "enc_res2net_scale": se.enc_res2net_scale,
+        "enc_se_channels": se.enc_se_channels,
+        "sample_rate": se.sample_rate,
+    }
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump({
             "model_type": "qwen3_tts",
-            "tts_model_type": cfg.tts_model_type,
+            "tts_model_type": "base" if with_encoders else cfg.tts_model_type,
+            "speaker_encoder_config": speaker_cfg,
             "talker_config": talker_cfg,
             "im_start_token_id": cfg.im_start_token_id,
             "im_end_token_id": cfg.im_end_token_id,
@@ -201,12 +269,24 @@ def make_checkpoint(model_dir: str, cfg: TTSConfig | None = None) -> TTSConfig:
     c[f"decoder.decoder.{n_blocks + 2}.conv.weight"] = _w(rng, 1, out_dim, 7)
     c[f"decoder.decoder.{n_blocks + 2}.conv.bias"] = _w(rng, 1)
 
+    encoder_cfg_json = None
+    if with_encoders:
+        import torch
+        from transformers import MimiConfig, MimiModel
+
+        mimi = MimiModel(MimiConfig(**TINY_MIMI_CONFIG))
+        with torch.no_grad():
+            for name, param in mimi.state_dict().items():
+                c["encoder." + name] = param.numpy().astype(np.float32)
+        encoder_cfg_json = TINY_MIMI_CONFIG
+
     st_dir = os.path.join(model_dir, "speech_tokenizer")
     os.makedirs(st_dir, exist_ok=True)
     save_file(c, os.path.join(st_dir, "model.safetensors"))
     with open(os.path.join(st_dir, "config.json"), "w") as f:
         json.dump({
             "model_type": "qwen3_tts_tokenizer_12hz",
+            **({"encoder_config": encoder_cfg_json} if encoder_cfg_json else {}),
             "decoder_config": {
                 "codebook_size": dec.codebook_size,
                 "codebook_dim": dec.codebook_dim,
