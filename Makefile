@@ -1,0 +1,39 @@
+# Developer entry points, mirroring the reference Makefile's test/benchmark
+# surface (Makefile:238-360 there) on the TPU-native framework.
+
+PY ?= python
+
+.PHONY: all native test test-fast validate-eos benchmark benchmark-gate \
+        bench-streaming clean
+
+all: native
+
+native:
+	$(MAKE) -C csrc
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+test-fast:
+	$(PY) -m pytest tests/ -x -q --ignore=tests/test_cli_and_dryrun.py
+
+# Greedy token/EOS parity gate (fast jitted path vs cache-free oracle).
+validate-eos:
+	$(PY) scripts/validate_eos_parity.py --tiny
+
+# Perf report on the current JAX platform (TPU by default).
+benchmark:
+	$(PY) scripts/benchmark.py
+
+# Regression gate vs a stored baseline report.
+BENCH_BASELINE ?= bench_baseline.json
+benchmark-gate:
+	@test -f $(BENCH_BASELINE) || ($(PY) scripts/benchmark.py --json $(BENCH_BASELINE) && echo "baseline written")
+	$(PY) scripts/benchmark.py --gate $(BENCH_BASELINE) --gate-ratio 1.2
+
+bench-streaming:
+	$(PY) scripts/bench_streaming.py
+
+clean:
+	$(MAKE) -C csrc clean
+	rm -rf .pytest_cache qwen_tts_tpu/__pycache__

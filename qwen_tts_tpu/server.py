@@ -54,6 +54,24 @@ def make_handler(engine, model):
                     "speakers": model.get_supported_speakers(),
                     "languages": model.get_supported_languages(),
                 })
+            elif self.path in ("/", "/index.html"):
+                import os
+
+                page = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "web", "index.html",
+                )
+                try:
+                    with open(page, "rb") as f:
+                        body = f.read()
+                except OSError:
+                    self._json(404, {"error": "web client not found"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 
