@@ -1,0 +1,534 @@
+"""25 Hz (V1) codec decoder: flow-matching DiT → mel → BigVGAN → waveform.
+
+Reference: qwen_tts/core/tokenizer_25hz/modeling_qwen3_tts_tokenizer_v1.py —
+
+* **DiT** (:1071-1226): AdaLN-Zero transformer conditioned on the diffusion
+  timestep; inputs fuse noisy mel + an ECAPA summary of the reference mel +
+  repeated codec-token embeddings + the CAM++ x-vector. Attention is
+  *block-local* (block 24) with per-layer look-ahead/backward of one block.
+  RoPE uses the **interleaved-pair** rotation (rotate (x0,x1) pairs, not the
+  half-split convention). Sampling: Euler ODE over sway-warped timesteps with
+  classifier-free guidance ran as a doubled batch.
+* **BigVGAN** (:996-1067): mel pre-processing (exp → dB → normalize), conv
+  stack with anti-aliased SnakeBeta activations (2× kaiser-sinc up/downsample
+  around each activation), transposed-conv upsampling, AMP residual blocks.
+
+TPU-first: the whole Euler loop is one `lax.scan` (10 fused steps); the CFG
+pair rides the batch axis; block-local attention is a static mask; the
+kaiser-sinc filters are load-time numpy constants feeding depthwise convs.
+Everything is channels-last.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_tts_tpu.config import BigVGANConfig, CodecV1Config, DiTConfig
+from qwen_tts_tpu.models.speaker import speaker_encoder_forward
+from qwen_tts_tpu.ops.norms import layer_norm
+from qwen_tts_tpu.ops.snake import snake_beta
+
+NEG_INF = jnp.float32(-1e9)
+
+
+# --------------------------------------------------------------------------
+# DiT pieces
+# --------------------------------------------------------------------------
+
+def _interleaved_rope_tables(seq_len: int, head_dim: int, theta: float):
+    """cos/sin [T, head_dim] with interleaved duplication:
+    table[t, 2i] = table[t, 2i+1] = f(t * theta^(-2i/d))
+    (Qwen3TTSTokenizerV1DecoderDiTRotaryEmbedding, :99-122)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    t = np.arange(seq_len)[:, None] * inv_freq[None, :]
+    t = np.stack([t, t], axis=-1).reshape(seq_len, head_dim)
+    return jnp.asarray(np.cos(t), jnp.float32), jnp.asarray(np.sin(t), jnp.float32)
+
+
+def _rotate_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """(x0, x1, x2, x3, ...) → (-x1, x0, -x3, x2, ...) (:556-561)."""
+    x = x.reshape(*x.shape[:-1], -1, 2)
+    x1, x2 = x[..., 0], x[..., 1]
+    return jnp.stack([-x2, x1], axis=-1).reshape(*x.shape[:-2], -1)
+
+
+def _apply_rope_interleaved(x, cos, sin):
+    return (x * cos + _rotate_pairs(x) * sin).astype(x.dtype)
+
+
+def _sinus_time_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0):
+    """SinusPositionEmbedding (:634-646). t: [B] → [B, dim]."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    arg = scale * t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+
+
+def _block_mask(seq_len: int, block_size: int, look_back: int, look_ahead: int):
+    """[T, T] bool — True = attend (DiTDecoderLayer mask, :684-686)."""
+    blocks = np.arange(seq_len) // block_size
+    diff = blocks[None, :] - blocks[:, None]
+    return jnp.asarray((diff >= -look_back) & (diff <= look_ahead))
+
+
+def _dit_attention(layer: dict, x: jnp.ndarray, cos, sin, mask, heads, head_dim):
+    b, t, _ = x.shape
+    q = (x @ layer["wq"] + layer["bq"]).reshape(b, t, heads, head_dim)
+    k = (x @ layer["wk"] + layer["bk"]).reshape(b, t, heads, head_dim)
+    v = (x @ layer["wv"] + layer["bv"]).reshape(b, t, heads, head_dim)
+    q = _apply_rope_interleaved(q, cos[None, :, None], sin[None, :, None])
+    k = _apply_rope_interleaved(k, cos[None, :, None], sin[None, :, None])
+    scores = jnp.einsum("bihd,bjhd->bhij", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(head_dim))
+    scores = jnp.where(mask[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhij,bjhd->bihd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(b, t, -1) @ layer["wo"] + layer["bo"]
+
+
+def _dit_layer(layer: dict, x: jnp.ndarray, time_emb: jnp.ndarray,
+               cos, sin, mask, cfg: DiTConfig):
+    # AdaLN-Zero (:477-491): 6-way modulation from silu(time_emb).
+    mod = jax.nn.silu(time_emb) @ layer["ada_w"] + layer["ada_b"]
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+        mod, 6, axis=-1
+    )
+    normed = _ln_noaffine(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+    attn = _dit_attention(layer, normed, cos, sin, mask,
+                          cfg.num_attention_heads, cfg.head_dim)
+    x = x + gate_msa[:, None] * attn
+    normed = _ln_noaffine(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+    h = normed @ layer["ff1_w"] + layer["ff1_b"]
+    h = jax.nn.gelu(h, approximate=True)  # GELU(approximate="tanh"), :522
+    h = h @ layer["ff2_w"] + layer["ff2_b"]
+    return x + gate_mlp[:, None] * h
+
+
+def _ln_noaffine(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def dit_forward(
+    params: dict,
+    cfg: DiTConfig,
+    noisy_mel: jnp.ndarray,   # [B, T, mel]  (already CFG-doubled if doubled)
+    spk_summary: jnp.ndarray, # [B, T, enc_dim]  ECAPA(ref_mel) repeated
+    code_embed: jnp.ndarray,  # [B, T, emb_dim]
+    xvec: jnp.ndarray,        # [B, T, enc_emb_dim]
+    t_step: jnp.ndarray,      # [B] diffusion time
+) -> jnp.ndarray:
+    """One DiT velocity evaluation. Returns [B, T, mel]."""
+    time_emb = _sinus_time_embedding(t_step, 256)
+    time_emb = jax.nn.silu(time_emb @ params["time_w1"] + params["time_b1"])
+    time_emb = time_emb @ params["time_w2"] + params["time_b2"]
+
+    x = jnp.concatenate([noisy_mel, spk_summary, code_embed, xvec], axis=-1)
+    x = x @ params["in_proj_w"] + params["in_proj_b"]
+
+    seq = x.shape[1]
+    cos, sin = _interleaved_rope_tables(seq, cfg.head_dim, cfg.rope_theta)
+
+    for i, layer in enumerate(params["layers"]):
+        look_ahead = 1 if i in cfg.look_ahead_layers else 0
+        look_back = 1 if i in cfg.look_backward_layers else 0
+        mask = _block_mask(seq, cfg.block_size, look_back, look_ahead)
+        x = _dit_layer(layer, x, time_emb, cos, sin, mask, cfg)
+
+    mod = jax.nn.silu(time_emb) @ params["out_ada_w"] + params["out_ada_b"]
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    x = _ln_noaffine(x) * (1 + scale[:, None]) + shift[:, None]
+    return x @ params["out_proj_w"] + params["out_proj_b"]
+
+
+def dit_sample(
+    params: dict,
+    cfg: DiTConfig,
+    codes: jnp.ndarray,     # [B, T_code] int32
+    ref_mel: jnp.ndarray,   # [B, T_mel, mel]
+    xvector: jnp.ndarray,   # [B, enc_emb_dim]
+    rng: jax.Array,
+    *,
+    num_steps: int = 10,
+    guidance_scale: float = 0.5,
+    sway_coefficient: Optional[float] = -1.0,
+) -> jnp.ndarray:
+    """Euler ODE sampling with CFG (:1171-1226). Returns mel [B, T, mel_dim]."""
+    b, t_code = codes.shape
+    t_mel = t_code * cfg.repeats
+
+    noise = jax.random.normal(rng, (b, t_mel, cfg.mel_dim), jnp.float32)
+
+    # The ECAPA summary runs on the reference mel for the conditional half and
+    # on a ZERO mel for the CFG-uncond half (the reference zeroes the mel
+    # *before* the spk encoder, DiTInputEmbedding :447-453 — ECAPA(0) ≠ 0).
+    spk_cfg = cfg.spk_encoder_config()
+    spk = speaker_encoder_forward(params["spk_encoder"], spk_cfg, ref_mel)
+    spk_rep = jnp.broadcast_to(spk[:, None], (b, t_mel, cfg.enc_dim))
+    xvec_rep = jnp.broadcast_to(xvector[:, None], (b, t_mel, cfg.enc_emb_dim))
+
+    code_emb = jnp.repeat(params["codec_embed"][codes], cfg.repeats, axis=1)
+    code_emb_uncond = jnp.repeat(
+        params["codec_embed"][jnp.zeros_like(codes)], cfg.repeats, axis=1
+    )
+
+    apply_cfg = guidance_scale >= 1e-5
+    if apply_cfg:
+        spk_zero = speaker_encoder_forward(
+            params["spk_encoder"], spk_cfg, jnp.zeros_like(ref_mel)
+        )
+        spk_zero_rep = jnp.broadcast_to(spk_zero[:, None], (b, t_mel, cfg.enc_dim))
+        mel_in = lambda x: jnp.concatenate([x, x], axis=0)  # noqa: E731
+        spk2 = jnp.concatenate([spk_rep, spk_zero_rep], axis=0)
+        xv2 = jnp.concatenate([xvec_rep, jnp.zeros_like(xvec_rep)], axis=0)
+        ce2 = jnp.concatenate([code_emb, code_emb_uncond], axis=0)
+    else:
+        mel_in = lambda x: x  # noqa: E731
+        spk2, xv2, ce2 = spk_rep, xvec_rep, code_emb
+
+    timesteps = jnp.linspace(0.0, 1.0, num_steps)
+    if sway_coefficient is not None:
+        timesteps = timesteps + sway_coefficient * (
+            jnp.cos(jnp.pi / 2 * timesteps) - 1 + timesteps
+        )
+
+    def velocity(t0, x):
+        bsz = ce2.shape[0]
+        pred = dit_forward(
+            params, cfg, mel_in(x), spk2, ce2, xv2,
+            jnp.broadcast_to(t0, (bsz,)),
+        )
+        if apply_cfg:
+            cond, uncond = jnp.split(pred, 2, axis=0)
+            return cond + (cond - uncond) * guidance_scale
+        return pred
+
+    def euler_step(x, ts):
+        t0, t1 = ts
+        return x + velocity(t0, x) * (t1 - t0), None
+
+    x, _ = jax.lax.scan(euler_step, noise,
+                        (timesteps[:-1], timesteps[1:]))
+    return x
+
+
+# --------------------------------------------------------------------------
+# BigVGAN
+# --------------------------------------------------------------------------
+
+def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int
+                         ) -> np.ndarray:
+    """Kaiser-windowed sinc filter (:739-782); numpy, load-time constant."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    attenuation = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if attenuation > 50.0:
+        beta = 0.1102 * (attenuation - 8.7)
+    elif attenuation >= 21.0:
+        beta = 0.5842 * (attenuation - 21) ** 0.4 + 0.07886 * (attenuation - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(kernel_size, beta)
+    if even:
+        time_idx = np.arange(-half_size, half_size) + 0.5
+    else:
+        time_idx = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros((kernel_size,), np.float32)
+    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time_idx)
+    filt = filt / filt.sum()
+    return filt.astype(np.float32)
+
+
+def _replicate_pad(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
+    """Edge-replication pad along T of [B, T, C]."""
+    return jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="edge")
+
+
+def _depthwise_conv(x: jnp.ndarray, filt: jnp.ndarray, stride: int = 1):
+    """x: [B, T, C]; filt: [K] shared across channels (depthwise)."""
+    c = x.shape[-1]
+    w = jnp.broadcast_to(filt[:, None, None], (filt.shape[0], 1, c))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride,), [(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c, preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _depthwise_conv_transpose(x: jnp.ndarray, filt: jnp.ndarray, stride: int):
+    c = x.shape[-1]
+    k = filt.shape[0]
+    w = jnp.broadcast_to(filt[::-1][:, None, None], (k, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, w, (1,), [(k - 1, k - 1)], lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _anti_aliased_snake(x: jnp.ndarray, alpha, beta, up_filt, down_filt,
+                        ratio: int = 2):
+    """TorchActivation1d (:835-856): 2× upsample → SnakeBeta → 2× downsample."""
+    k_up = up_filt.shape[0]
+    pad = k_up // ratio - 1
+    pad_left = pad * ratio + (k_up - ratio) // 2
+    pad_right = pad * ratio + (k_up - ratio + 1) // 2
+    h = _replicate_pad(x, pad, pad)
+    h = ratio * _depthwise_conv_transpose(h, up_filt, ratio)
+    h = h[:, pad_left : h.shape[1] - pad_right]
+
+    h = snake_beta(h, alpha, beta)
+
+    k_dn = down_filt.shape[0]
+    even = k_dn % 2 == 0
+    dl = k_dn // 2 - int(even)
+    dr = k_dn // 2
+    h = _replicate_pad(h, dl, dr)
+    return _depthwise_conv(h, down_filt, stride=ratio)
+
+
+def _conv1d_same(x, w, b, dilation=1):
+    """Non-causal 'same'-padded conv (torch padding=(k*d-d)//2)."""
+    k = w.shape[0]
+    pad = (k * dilation - dilation) // 2
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1,), [(pad, pad)], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _conv_transpose_same(x, w, b, stride: int):
+    """torch ConvTranspose1d(k, s, padding=(k-s)//2): trim (k-s)//2 per side.
+    w: [K, Cin, Cout] flipped-tap layout (see ops/convs.py)."""
+    k = w.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1,), [(k - 1, k - 1)], lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    trim = (k - stride) // 2
+    if trim > 0:
+        out = out[:, trim : out.shape[1] - trim]
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _amp_block(p: dict, x: jnp.ndarray, dilations: Tuple[int, ...],
+               causal_type: str, filters: dict) -> jnp.ndarray:
+    """AMPBlock (:868-992)."""
+    up_f, dn_f = filters["up"], filters["down"]
+
+    def act(a_idx, h):
+        a = p["act_alpha"][a_idx]
+        b = p["act_beta"][a_idx]
+        return _anti_aliased_snake(h, a, b, up_f, dn_f)
+
+    if causal_type == "2":
+        h = _conv1d_same(x, p["pre_conv_w"], p["pre_conv_b"])
+        h = _anti_aliased_snake(h, p["pre_alpha"], p["pre_beta"], up_f, dn_f)
+    else:
+        h = x
+    out = x
+    for j, dilation in enumerate(dilations):
+        h = act(2 * j, h)
+        # convs1: causal, dilated.
+        from qwen_tts_tpu.ops.convs import causal_conv1d
+
+        h = causal_conv1d(h, p["conv1_w"][j], p["conv1_b"][j], dilation=dilation)
+        h = act(2 * j + 1, h)
+        if causal_type == "1":
+            h = _conv1d_same(h, p["conv2_w"][j], p["conv2_b"][j])
+        else:
+            h = causal_conv1d(h, p["conv2_w"][j], p["conv2_b"][j])
+        out = out + h
+    return out
+
+
+def _process_mel(mel: jnp.ndarray) -> jnp.ndarray:
+    """exp → dB(min −115) − 20 → normalize to [−1, 1] (:1038-1050)."""
+    amplitude = jnp.exp(mel.astype(jnp.float32))
+    min_level = jnp.exp(jnp.float32(-115 / 20.0 * np.log(10)))
+    db = 20.0 * jnp.log10(jnp.maximum(amplitude, min_level)) - 20.0
+    return jnp.clip(2.0 * ((db + 115.0) / 115.0) - 1.0, -1.0, 1.0)
+
+
+def bigvgan_forward(params: dict, cfg: BigVGANConfig, mel: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """mel [B, T, mel_dim] → waveform [B, T * total_upsample]."""
+    filters = params["_filters"]
+    h = _process_mel(mel)
+    h = _conv1d_same(h, params["pre_w"], params["pre_b"])
+    n_res = len(cfg.resblock_kernel_sizes)
+    for li, rate in enumerate(cfg.upsample_rates):
+        h = _conv_transpose_same(
+            h, params["ups_w"][li], params["ups_b"][li], stride=rate
+        )
+        acc = None
+        for bi in range(n_res):
+            block = params["resblocks"][li * n_res + bi]
+            causal_type = "1" if li > 1 else "2"
+            r = _amp_block(block, h, cfg.resblock_dilation_sizes[bi],
+                           causal_type, filters)
+            acc = r if acc is None else acc + r
+        h = acc / n_res
+    h = _anti_aliased_snake(h, params["post_alpha"], params["post_beta"],
+                            filters["up"], filters["down"])
+    wav = _conv1d_same(h, params["post_w"], None)
+    return jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0)
+
+
+# --------------------------------------------------------------------------
+# Full decode
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "guidance_scale",
+                                   "sway_coefficient"))
+def codec_v1_decode(
+    params: dict,
+    cfg: CodecV1Config,
+    codes: jnp.ndarray,    # [B, T] int32 (clamped >= 0)
+    xvectors: jnp.ndarray, # [B, enc_emb_dim]
+    ref_mels: jnp.ndarray, # [B, T_mel, mel_dim]
+    rng: jax.Array,
+    *,
+    num_steps: int = 10,
+    guidance_scale: float = 0.5,
+    sway_coefficient: float = -1.0,
+) -> jnp.ndarray:
+    codes = jnp.maximum(codes, 0)
+    mel = dit_sample(
+        params["dit"], cfg.dit, codes, ref_mels, xvectors, rng,
+        num_steps=num_steps, guidance_scale=guidance_scale,
+        sway_coefficient=sway_coefficient,
+    )
+    return bigvgan_forward(params["bigvgan"], cfg.bigvgan, mel)
+
+
+# --------------------------------------------------------------------------
+# Random init (tests / bench)
+# --------------------------------------------------------------------------
+
+def _w(key, shape, fan_in, dtype):
+    return (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dtype)
+
+
+def init_dit_params(rng: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> dict:
+    from qwen_tts_tpu.models.speaker import init_speaker_params
+
+    keys = iter(jax.random.split(rng, 16 + 8 * cfg.num_hidden_layers))
+    h = cfg.hidden_size
+    in_dim = cfg.mel_dim + cfg.enc_dim + cfg.emb_dim + cfg.enc_emb_dim
+    qd = cfg.num_attention_heads * cfg.head_dim
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append({
+            "ada_w": _w(next(keys), (h, 6 * h), h, dtype),
+            "ada_b": jnp.zeros((6 * h,), dtype),
+            "wq": _w(next(keys), (h, qd), h, dtype), "bq": jnp.zeros((qd,), dtype),
+            "wk": _w(next(keys), (h, qd), h, dtype), "bk": jnp.zeros((qd,), dtype),
+            "wv": _w(next(keys), (h, qd), h, dtype), "bv": jnp.zeros((qd,), dtype),
+            "wo": _w(next(keys), (qd, h), qd, dtype), "bo": jnp.zeros((h,), dtype),
+            "ff1_w": _w(next(keys), (h, h * cfg.ff_mult), h, dtype),
+            "ff1_b": jnp.zeros((h * cfg.ff_mult,), dtype),
+            "ff2_w": _w(next(keys), (h * cfg.ff_mult, h), h * cfg.ff_mult, dtype),
+            "ff2_b": jnp.zeros((h,), dtype),
+        })
+    return {
+        "time_w1": _w(next(keys), (256, h), 256, dtype),
+        "time_b1": jnp.zeros((h,), dtype),
+        "time_w2": _w(next(keys), (h, h), h, dtype),
+        "time_b2": jnp.zeros((h,), dtype),
+        "codec_embed": _w(next(keys), (cfg.num_embeds + 1, cfg.emb_dim),
+                          cfg.emb_dim, dtype),
+        "in_proj_w": _w(next(keys), (in_dim, h), in_dim, dtype),
+        "in_proj_b": jnp.zeros((h,), dtype),
+        "spk_encoder": init_speaker_params(next(keys), cfg.spk_encoder_config(),
+                                           dtype),
+        "layers": layers,
+        "out_ada_w": _w(next(keys), (h, 2 * h), h, dtype),
+        "out_ada_b": jnp.zeros((2 * h,), dtype),
+        "out_proj_w": _w(next(keys), (h, cfg.mel_dim), h, dtype),
+        "out_proj_b": jnp.zeros((cfg.mel_dim,), dtype),
+    }
+
+
+def make_aa_filters() -> dict:
+    """Shared 2× anti-aliasing filters (kernel 12, the BigVGAN defaults)."""
+    return {
+        "up": jnp.asarray(kaiser_sinc_filter1d(0.25, 0.3, 12)),
+        "down": jnp.asarray(kaiser_sinc_filter1d(0.25, 0.3, 12)),
+    }
+
+
+def init_bigvgan_params(rng: jax.Array, cfg: BigVGANConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, 512))
+    c0 = cfg.upsample_initial_channel
+    resblocks = []
+    ups_w, ups_b = [], []
+    n_res = len(cfg.resblock_kernel_sizes)
+    for li, (rate, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin = c0 // (2 ** li)
+        cout = c0 // (2 ** (li + 1))
+        ups_w.append(_w(next(keys), (k, cin, cout), cin * k, dtype))
+        ups_b.append(jnp.zeros((cout,), dtype))
+        for bi in range(n_res):
+            ks = cfg.resblock_kernel_sizes[bi]
+            dil = cfg.resblock_dilation_sizes[bi]
+            n_layers = 2 * len(dil)
+            blk = {
+                "conv1_w": jnp.stack([
+                    _w(next(keys), (ks, cout, cout), ks * cout, dtype)
+                    for _ in dil
+                ]),
+                "conv1_b": jnp.zeros((len(dil), cout), dtype),
+                "conv2_w": jnp.stack([
+                    _w(next(keys), (ks, cout, cout), ks * cout, dtype)
+                    for _ in dil
+                ]),
+                "conv2_b": jnp.zeros((len(dil), cout), dtype),
+                "act_alpha": jnp.ones((n_layers, cout), dtype),
+                "act_beta": jnp.ones((n_layers, cout), dtype),
+            }
+            if li <= 1:
+                blk["pre_conv_w"] = _w(next(keys), (ks, cout, cout), ks * cout, dtype)
+                blk["pre_conv_b"] = jnp.zeros((cout,), dtype)
+                blk["pre_alpha"] = jnp.ones((cout,), dtype)
+                blk["pre_beta"] = jnp.ones((cout,), dtype)
+            resblocks.append(blk)
+    c_last = c0 // (2 ** len(cfg.upsample_rates))
+    return {
+        "pre_w": _w(next(keys), (5, cfg.mel_dim, c0), 5 * cfg.mel_dim, dtype),
+        "pre_b": jnp.zeros((c0,), dtype),
+        "ups_w": ups_w,
+        "ups_b": ups_b,
+        "resblocks": resblocks,
+        "post_alpha": jnp.ones((c_last,), dtype),
+        "post_beta": jnp.ones((c_last,), dtype),
+        "post_w": _w(next(keys), (7, c_last, 1), 7 * c_last, dtype),
+        "_filters": make_aa_filters(),
+    }
+
+
+def init_codec_v1_params(rng: jax.Array, cfg: CodecV1Config, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "dit": init_dit_params(k1, cfg.dit, dtype),
+        "bigvgan": init_bigvgan_params(k2, cfg.bigvgan, dtype),
+    }

@@ -227,9 +227,12 @@ def init_speaker_params(rng: jax.Array, cfg: SpeakerEncoderConfig, dtype=jnp.flo
     }
 
 
-def load_speaker_encoder(st, cfg: SpeakerEncoderConfig, dtype=jnp.float32) -> dict:
-    """Load from checkpoint tensors (prefix ``speaker_encoder.``; Base models
-    only — modeling_qwen3_tts.py:1822-1825)."""
+def load_speaker_encoder(st, cfg: SpeakerEncoderConfig, dtype=jnp.float32,
+                         prefix: str = "speaker_encoder.") -> dict:
+    """Load ECAPA-TDNN weights. Used for the Base-model speaker encoder
+    (prefix ``speaker_encoder.``, modeling_qwen3_tts.py:1822-1825) and the
+    25 Hz DiT's reference-mel encoder (prefix
+    ``decoder.dit.input_embed.spk_encoder.`` — same module structure)."""
     import numpy as np
 
     def conv(name):
@@ -246,7 +249,7 @@ def load_speaker_encoder(st, cfg: SpeakerEncoderConfig, dtype=jnp.float32) -> di
             jnp.asarray(st.get_f32(name + ".bias"), dtype),
         )
 
-    p = "speaker_encoder."
+    p = prefix
     ch = cfg.enc_channels
     blocks: List[dict] = [conv(p + "blocks.0.conv")]
     for i in range(1, len(ch) - 1):

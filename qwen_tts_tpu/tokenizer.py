@@ -1,0 +1,146 @@
+"""Unified speech-tokenizer wrapper — the reference `Qwen3TTSTokenizer`
+(inference/qwen3_tts_tokenizer.py): detects the tokenizer family from
+``config.json`` ``model_type`` and exposes ``encode`` / ``decode`` over both:
+
+* ``qwen3_tts_tokenizer_12hz`` (V2): codes [T, 16] ↔ 24 kHz waveform
+  (JAX decoder; HF-Mimi encode cold path)
+* ``qwen3_tts_tokenizer_25hz`` (V1): codes [T] + x-vector + ref-mel →
+  flow-matching DiT + BigVGAN decode (JAX). Encode (Whisper-VQ + CAM++ ONNX
+  x-vector) requires assets this round does not ship — precomputed inputs are
+  accepted in the reference dict layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_tts_tpu.config import CodecConfig, CodecV1Config
+
+
+class Qwen3TTSTokenizer:
+    def __init__(self, model_type: str, cfg, params, model_dir: Optional[str] = None):
+        self.model_type = model_type
+        self.cfg = cfg
+        self.params = params
+        self.model_dir = model_dir
+        self._encoder = None
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, *, dtype=jnp.float32
+                        ) -> "Qwen3TTSTokenizer":
+        with open(os.path.join(model_dir, "config.json"), encoding="utf-8") as f:
+            raw = json.load(f)
+        model_type = raw.get("model_type", "qwen3_tts_tokenizer_12hz")
+        if model_type == "qwen3_tts_tokenizer_25hz":
+            cfg = CodecV1Config.from_dict(raw)
+            from qwen_tts_tpu.io.loader_v1 import load_codec_v1
+
+            params = load_codec_v1(model_dir, cfg, dtype)
+        else:
+            cfg = CodecConfig.from_dict(raw)
+            from qwen_tts_tpu.io.loader import load_codec
+            from qwen_tts_tpu.io.safetensors import MultiSafeTensors
+
+            st = MultiSafeTensors(model_dir)
+            params = load_codec(st, cfg.decoder, dtype)
+            st.close()
+        return cls(model_type, cfg, params, model_dir)
+
+    def get_model_type(self) -> str:
+        return self.model_type
+
+    def get_output_sample_rate(self) -> int:
+        return self.cfg.output_sample_rate
+
+    def get_input_sample_rate(self) -> int:
+        return self.cfg.input_sample_rate
+
+    def get_decode_upsample_rate(self) -> int:
+        return self.cfg.decode_upsample_rate
+
+    def get_encode_downsample_rate(self) -> int:
+        return self.cfg.encode_downsample_rate
+
+    # ------------------------------------------------------------------
+
+    def encode(self, wavs: Sequence[np.ndarray], sample_rate: int):
+        if self.model_type == "qwen3_tts_tokenizer_12hz":
+            from qwen_tts_tpu.codec_encoder import SpeechTokenizerEncoder
+
+            if self._encoder is None:
+                self._encoder = SpeechTokenizerEncoder.from_pretrained(self.model_dir)
+            return {"audio_codes": self._encoder.encode(wavs, sample_rate)}
+        raise NotImplementedError(
+            "25Hz encode (Whisper-VQ + CAM++ ONNX x-vector) is not available "
+            "in this build; pass precomputed audio_codes/xvectors/ref_mels."
+        )
+
+    def decode(self, encoded, *, seed: int = 0) -> Tuple[List[np.ndarray], int]:
+        """Reference-compatible payloads: encode() output, a dict, or a list
+        of dicts (qwen3_tts_tokenizer.py:259-365)."""
+        if isinstance(encoded, list):
+            audio_codes = [np.asarray(e["audio_codes"]) for e in encoded]
+            xvectors = ([np.asarray(e["xvectors"]) for e in encoded]
+                        if "xvectors" in encoded[0] else None)
+            ref_mels = ([np.asarray(e["ref_mels"]) for e in encoded]
+                        if "ref_mels" in encoded[0] else None)
+        elif isinstance(encoded, dict):
+            audio_codes = [np.asarray(c) for c in encoded["audio_codes"]]
+            xvectors = ([np.asarray(x) for x in encoded["xvectors"]]
+                        if encoded.get("xvectors") is not None else None)
+            ref_mels = ([np.asarray(m) for m in encoded["ref_mels"]]
+                        if encoded.get("ref_mels") is not None else None)
+        else:
+            raise TypeError("encoded must be a dict or list of dicts")
+
+        if self.model_type == "qwen3_tts_tokenizer_25hz":
+            return self._decode_v1(audio_codes, xvectors, ref_mels, seed)
+        return self._decode_v2(audio_codes)
+
+    def _decode_v2(self, codes_list):
+        from qwen_tts_tpu.models import codec as codec_mod
+
+        dec = self.cfg.decoder
+        lengths = [c.shape[0] for c in codes_list]
+        t_max = max(lengths)
+        batch = np.full((len(codes_list), t_max, dec.num_quantizers), -1, np.int32)
+        for i, c in enumerate(codes_list):
+            batch[i, : c.shape[0]] = c[:, : dec.num_quantizers]
+        wav = np.asarray(codec_mod.chunked_decode(
+            self.params, dec, jnp.asarray(batch)
+        ))
+        up = self.cfg.decode_upsample_rate
+        return ([wav[i, : lengths[i] * up] for i in range(len(codes_list))],
+                self.cfg.output_sample_rate)
+
+    def _decode_v1(self, codes_list, xvectors, ref_mels, seed):
+        if xvectors is None or ref_mels is None:
+            raise ValueError("25Hz decode requires `xvectors` and `ref_mels`")
+        from qwen_tts_tpu.models.codec_v1 import codec_v1_decode
+
+        lengths = [int(np.asarray(c).reshape(-1).shape[0]) for c in codes_list]
+        t_max = max(lengths)
+        codes = np.full((len(codes_list), t_max), -1, np.int32)
+        for i, c in enumerate(codes_list):
+            codes[i, : lengths[i]] = np.asarray(c).reshape(-1)
+        xv = np.stack([np.asarray(x, np.float32) for x in xvectors])
+        mel_lens = [m.shape[0] for m in ref_mels]
+        mel = np.zeros((len(ref_mels), max(mel_lens), ref_mels[0].shape[-1]),
+                       np.float32)
+        for i, m in enumerate(ref_mels):
+            mel[i, : m.shape[0]] = m
+        wav = np.asarray(codec_v1_decode(
+            self.params, self.cfg, jnp.asarray(codes), jnp.asarray(xv),
+            jnp.asarray(mel), jax.random.PRNGKey(seed),
+        ))
+        up = self.cfg.decode_upsample_rate
+        return ([wav[i, : lengths[i] * up] for i in range(len(codes_list))],
+                self.cfg.output_sample_rate)

@@ -1,0 +1,53 @@
+"""Unified Qwen3TTSTokenizer wrapper: 12Hz and 25Hz families from disk."""
+
+import numpy as np
+import pytest
+
+from ckpt_fixture import make_checkpoint
+from ckpt_fixture_v1 import make_v1_checkpoint
+from test_codec_v1 import TINY_V1
+from qwen_tts_tpu.tokenizer import Qwen3TTSTokenizer
+
+
+def test_v1_tokenizer_from_disk(tmp_path):
+    d = str(tmp_path / "v1")
+    make_v1_checkpoint(d, TINY_V1)
+    tok = Qwen3TTSTokenizer.from_pretrained(d)
+    assert tok.get_model_type() == "qwen3_tts_tokenizer_25hz"
+    assert tok.get_output_sample_rate() == 24000
+
+    rng = np.random.default_rng(0)
+    payload = [
+        {
+            "audio_codes": rng.integers(0, TINY_V1.dit.num_embeds, (5,)),
+            "xvectors": rng.standard_normal(TINY_V1.dit.enc_emb_dim).astype(np.float32),
+            "ref_mels": (0.1 * rng.standard_normal((9, TINY_V1.dit.mel_dim))).astype(np.float32),
+        },
+        {
+            "audio_codes": rng.integers(0, TINY_V1.dit.num_embeds, (3,)),
+            "xvectors": rng.standard_normal(TINY_V1.dit.enc_emb_dim).astype(np.float32),
+            "ref_mels": (0.1 * rng.standard_normal((9, TINY_V1.dit.mel_dim))).astype(np.float32),
+        },
+    ]
+    wavs, sr = tok.decode(payload)
+    assert sr == 24000
+    assert wavs[0].shape[0] == 5 * TINY_V1.decode_upsample_rate
+    assert wavs[1].shape[0] == 3 * TINY_V1.decode_upsample_rate
+    for w in wavs:
+        assert np.isfinite(w).all()
+        assert (np.abs(w) <= 1.0).all()
+
+    with pytest.raises(NotImplementedError):
+        tok.encode([np.zeros(1000, np.float32)], 16000)
+
+
+def test_v2_tokenizer_from_disk(tmp_path):
+    d = str(tmp_path / "v2")
+    cfg = make_checkpoint(d)
+    tok = Qwen3TTSTokenizer.from_pretrained(str(tmp_path / "v2" / "speech_tokenizer"))
+    assert tok.get_model_type() == "qwen3_tts_tokenizer_12hz"
+    nq = cfg.codec.decoder.num_quantizers
+    codes = np.random.default_rng(1).integers(0, 64, (4, nq))
+    wavs, sr = tok.decode({"audio_codes": [codes]})
+    assert sr == 24000
+    assert wavs[0].shape[0] == 4 * cfg.codec.decode_upsample_rate
