@@ -78,10 +78,36 @@ class Qwen3TTSTokenizer:
             if self._encoder is None:
                 self._encoder = SpeechTokenizerEncoder.from_pretrained(self.model_dir)
             return {"audio_codes": self._encoder.encode(wavs, sample_rate)}
-        raise NotImplementedError(
-            "25Hz encode (Whisper-VQ + CAM++ ONNX x-vector) is not available "
-            "in this build; pass precomputed audio_codes/xvectors/ref_mels."
-        )
+
+        # 25Hz: Whisper-VQ codes + BigVGAN-style ref mels run natively; the
+        # CAM++ x-vector needs its ONNX asset + onnxruntime (absent in this
+        # image) — callers supply precomputed xvectors for decode.
+        from qwen_tts_tpu.codec_encoder import resample_linear
+        from qwen_tts_tpu.models import whisper_vq as wvq
+
+        if self._encoder is None:
+            with open(os.path.join(self.model_dir, "config.json"),
+                      encoding="utf-8") as f:
+                raw = json.load(f)
+            enc_raw = raw.get("encoder_config") or {}
+            import dataclasses as _dc
+
+            keys = {f.name for f in _dc.fields(wvq.WhisperVQConfig)}
+            enc_cfg = wvq.WhisperVQConfig(
+                **{k: v for k, v in enc_raw.items() if k in keys}
+            )
+            from qwen_tts_tpu.io.safetensors import MultiSafeTensors
+
+            st = MultiSafeTensors(self.model_dir)
+            enc_params = wvq.load_whisper_vq(st, enc_cfg)
+            st.close()
+            self._encoder = (enc_cfg, enc_params)
+        enc_cfg, enc_params = self._encoder
+        wavs16 = [resample_linear(np.asarray(w, np.float32), sample_rate,
+                                  wvq.SAMPLE_RATE) for w in wavs]
+        codes = wvq.encode_waveforms(enc_params, enc_cfg, wavs16)
+        ref_mels = [wvq.v1_ref_mel(w) for w in wavs16]
+        return {"audio_codes": codes, "ref_mels": ref_mels, "xvectors": None}
 
     def decode(self, encoded, *, seed: int = 0) -> Tuple[List[np.ndarray], int]:
         """Reference-compatible payloads: encode() output, a dict, or a list

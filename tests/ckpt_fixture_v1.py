@@ -16,7 +16,54 @@ def _w(rng, *shape):
     return (rng.standard_normal(shape) / np.sqrt(shape[-1])).astype(np.float32)
 
 
-def make_v1_checkpoint(model_dir: str, cfg: CodecV1Config) -> None:
+def _encoder_tensors(rng, enc_cfg) -> dict:
+    """Whisper-VQ encoder tensors under the reference encoder.tokenizer.* names."""
+    t = {}
+    p = "encoder.tokenizer."
+    d = enc_cfg.n_state
+    t[p + "conv1.weight"] = _w(rng, d, enc_cfg.n_mels, 3)
+    t[p + "conv1.bias"] = _w(rng, d)
+    t[p + "conv2.weight"] = _w(rng, d, d, 3)
+    t[p + "conv2.bias"] = _w(rng, d)
+    half = d // 2
+    inc = np.log(10000) / (half - 1)
+    scaled = np.arange(enc_cfg.n_ctx)[:, None] * np.exp(-inc * np.arange(half))[None, :]
+    t[p + "positional_embedding"] = np.concatenate(
+        [np.sin(scaled), np.cos(scaled)], axis=1
+    ).astype(np.float32)
+    for i in range(enc_cfg.n_layer):
+        b = f"{p}blocks.{i}."
+        t[b + "attn_ln.weight"] = np.ones(d, np.float32)
+        t[b + "attn_ln.bias"] = np.zeros(d, np.float32)
+        for proj, bias in (("query", True), ("key", False), ("value", True),
+                           ("out", True)):
+            t[b + f"attn.{proj}.weight"] = _w(rng, d, d)
+            if bias:
+                t[b + f"attn.{proj}.bias"] = _w(rng, d)
+        t[b + "mlp_ln.weight"] = np.ones(d, np.float32)
+        t[b + "mlp_ln.bias"] = np.zeros(d, np.float32)
+        t[b + "mlp.0.weight"] = _w(rng, 4 * d, d)
+        t[b + "mlp.0.bias"] = _w(rng, 4 * d)
+        t[b + "mlp.2.weight"] = _w(rng, d, 4 * d)
+        t[b + "mlp.2.bias"] = _w(rng, d)
+    ds = enc_cfg.audio_vq_ds_rate
+    if ds > 1:
+        t[p + "audio_vq_downsample.weight"] = _w(rng, d, d, ds)
+        t[p + "audio_vq_downsample.bias"] = _w(rng, d)
+    t[p + "audio_quantizer.rvqs.0.embed"] = _w(
+        rng, 1, enc_cfg.audio_vq_codebook_size, enc_cfg.audio_vq_codebook_dim
+    )
+    if enc_cfg.audio_vq_codebook_dim != d:
+        t[p + "audio_quantizer.rvqs.0.layers.0.project_in.weight"] = _w(
+            rng, enc_cfg.audio_vq_codebook_dim, d
+        )
+        t[p + "audio_quantizer.rvqs.0.layers.0.project_in.bias"] = _w(
+            rng, enc_cfg.audio_vq_codebook_dim
+        )
+    return t
+
+
+def make_v1_checkpoint(model_dir: str, cfg: CodecV1Config, enc_cfg=None) -> None:
     dit, bv = cfg.dit, cfg.bigvgan
     rng = np.random.default_rng(7)
     t = {}
@@ -109,11 +156,19 @@ def make_v1_checkpoint(model_dir: str, cfg: CodecV1Config) -> None:
     t[g + "activation_post.act.beta"] = (0.1 * rng.standard_normal(c_last)).astype(np.float32)
     t[g + "conv_post.weight"] = _w(rng, 1, c_last, 7)
 
+    enc_cfg_json = None
+    if enc_cfg is not None:
+        t.update(_encoder_tensors(rng, enc_cfg))
+        import dataclasses as _dc
+
+        enc_cfg_json = _dc.asdict(enc_cfg)
+
     os.makedirs(model_dir, exist_ok=True)
     save_file(t, os.path.join(model_dir, "model.safetensors"))
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump({
             "model_type": "qwen3_tts_tokenizer_25hz",
+            **({"encoder_config": enc_cfg_json} if enc_cfg_json else {}),
             "decoder_config": {
                 "dit_config": {
                     "hidden_size": dit.hidden_size,

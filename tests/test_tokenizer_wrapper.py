@@ -37,8 +37,26 @@ def test_v1_tokenizer_from_disk(tmp_path):
         assert np.isfinite(w).all()
         assert (np.abs(w) <= 1.0).all()
 
-    with pytest.raises(NotImplementedError):
+    # This fixture ships no encoder tensors — encode must fail loudly.
+    with pytest.raises((KeyError, FileNotFoundError)):
         tok.encode([np.zeros(1000, np.float32)], 16000)
+
+
+def test_v1_encode_from_disk(tmp_path):
+    from qwen_tts_tpu.models.whisper_vq import WhisperVQConfig
+    from test_whisper_vq import TINY as TINY_ENC
+
+    d = str(tmp_path / "v1e")
+    make_v1_checkpoint(d, TINY_V1, enc_cfg=TINY_ENC)
+    tok = Qwen3TTSTokenizer.from_pretrained(d)
+    wav = (0.2 * np.sin(np.linspace(0, 100, 16000))).astype(np.float32)
+    out = tok.encode([wav], 16000)
+    codes = out["audio_codes"][0]
+    assert codes.shape[0] == -(-16000 // (160 * 2 * TINY_ENC.audio_vq_ds_rate))
+    assert (codes >= 0).all() and (codes < TINY_ENC.audio_vq_codebook_size).all()
+    ref_mel = out["ref_mels"][0]
+    assert ref_mel.shape[1] == 80
+    assert out["xvectors"] is None  # CAM++ ONNX asset gated
 
 
 def test_v2_tokenizer_from_disk(tmp_path):
