@@ -91,7 +91,8 @@ def _mrope_cos_sin(cfg: TalkerConfig, positions: jnp.ndarray):
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     cos3 = jnp.broadcast_to(cos[None], (3,) + cos.shape)
     sin3 = jnp.broadcast_to(sin[None], (3,) + sin.shape)
-    return merge_mrope_sections(cos3, sin3, cfg.mrope_section)
+    return merge_mrope_sections(cos3, sin3, cfg.mrope_section,
+                                interleaved=cfg.mrope_interleaved)
 
 
 class TalkerPrefillOut(NamedTuple):

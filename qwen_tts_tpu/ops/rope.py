@@ -56,14 +56,37 @@ def apply_rope(
 
 
 def merge_mrope_sections(
-    cos3: jnp.ndarray, sin3: jnp.ndarray, sections: Sequence[int]
+    cos3: jnp.ndarray, sin3: jnp.ndarray, sections: Sequence[int],
+    interleaved: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Merge 3-stream cos/sin into a single table by channel sections.
 
-    cos3/sin3: [3, ..., head_dim]; sections sum to head_dim // 2. Chunk i of
-    the doubled section list takes stream i % 3
-    (modeling_qwen3_tts.py:713-720).
+    cos3/sin3: [3, ..., head_dim]; sections sum to head_dim // 2.
+
+    Non-interleaved (default): chunk i of the doubled section list takes
+    stream i % 3 (modeling_qwen3_tts.py:713-720).
+
+    Interleaved: within the half-dim, channel c belongs to stream c % 3 up to
+    per-stream extents n_s * 3 (modeling_qwen3_tts.py:692-712) — stream 0 is
+    the base, streams 1/2 overwrite their strided slices
+    ``[s : sections[s]*3 : 3]``.
     """
+    if interleaved:
+        half = cos3.shape[-1] // 2
+        modality_num = len(sections)
+
+        def merge(t: jnp.ndarray) -> jnp.ndarray:
+            th = t[..., :half]
+            out = th[0]
+            idx = jnp.arange(half)
+            for s in range(1, modality_num):
+                sel = (idx % modality_num == s % modality_num) & (
+                    idx >= s) & (idx < sections[s] * modality_num)
+                out = jnp.where(sel, th[s], out)
+            return jnp.concatenate([out, out], axis=-1)
+
+        return merge(cos3), merge(sin3)
+
     doubled = list(sections) + list(sections)
 
     def merge(t: jnp.ndarray) -> jnp.ndarray:

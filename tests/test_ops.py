@@ -78,6 +78,35 @@ def test_mrope_distinct_streams_interleave():
     np.testing.assert_allclose(np.asarray(mcos[..., 8:12]), np.asarray(cos3[0, ..., 8:12]))
 
 
+def test_mrope_interleaved_identical_streams_is_identity():
+    positions = jnp.arange(5)[None]
+    cos, sin = rope_cos_sin(positions, 16, 10000.0)
+    cos3 = jnp.broadcast_to(cos[None], (3,) + cos.shape)
+    sin3 = jnp.broadcast_to(sin[None], (3,) + sin.shape)
+    mcos, msin = merge_mrope_sections(cos3, sin3, (4, 2, 2), interleaved=True)
+    np.testing.assert_allclose(np.asarray(mcos), np.asarray(cos), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(msin), np.asarray(sin), atol=1e-7)
+
+
+def test_mrope_interleaved_strided_assignment():
+    """Interleaved merge: channel c (< half) comes from stream c % 3 within
+    each stream's extent (modeling_qwen3_tts.py:694-703)."""
+    head_dim, sections = 16, (4, 2, 2)
+    pos3 = jnp.stack([jnp.arange(5), jnp.arange(5) + 7, jnp.arange(5) + 13])[:, None, :]
+    cos3, sin3 = rope_cos_sin(pos3, head_dim, 10000.0)
+    mcos, _ = merge_mrope_sections(cos3, sin3, sections, interleaved=True)
+    half = head_dim // 2
+    got = np.asarray(mcos[..., :half])
+    src = np.asarray(cos3[..., :half])
+    for c in range(half):
+        s = c % 3
+        if s != 0 and not (c >= s and c < sections[s] * 3):
+            s = 0  # outside stream extent → base stream
+        np.testing.assert_allclose(got[..., c], src[s, ..., c], atol=1e-7)
+    # Second half duplicates the first (cat([merged] * 2)).
+    np.testing.assert_allclose(np.asarray(mcos[..., half:]), got, atol=1e-7)
+
+
 @pytest.mark.parametrize("sliding_window", [None, 3])
 def test_attention_prefill_matches_torch(sliding_window):
     b, s, h, kv, hd = 2, 9, 4, 2, 8
