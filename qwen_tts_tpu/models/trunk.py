@@ -76,11 +76,37 @@ def init_trunk_params(rng: jax.Array, dims: TrunkDims, dtype=jnp.float32) -> dic
     return params
 
 
+def fuse_trunk_params(params: dict) -> dict:
+    """Concatenate Q|K|V and gate|up into single matmuls (the gate∥up fusion
+    the reference C engine builds at load, c/qwen_tts.c:481-489, extended to
+    QKV). One [D, q+2kv] and one [D, 2I] MXU matmul per layer instead of five.
+    Call once after load/init; trunk functions detect the fused keys."""
+    fused = dict(params)
+    fused["wqkv"] = jnp.concatenate(
+        [params["wq"], params["wk"], params["wv"]], axis=-1
+    )
+    fused["wgu"] = jnp.concatenate([params["gate"], params["up"]], axis=-1)
+    for k in ("wq", "wk", "wv", "gate", "up"):
+        del fused[k]
+    return fused
+
+
 def _project_qkv(layer: dict, x: jnp.ndarray, dims: TrunkDims):
     """x: [..., D] → q [..., H, hd], k/v [..., KV, hd] with QK-RMSNorm."""
-    q = (x @ layer["wq"]).reshape(*x.shape[:-1], dims.heads, dims.head_dim)
-    k = (x @ layer["wk"]).reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
-    v = (x @ layer["wv"]).reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
+    q_dim = dims.heads * dims.head_dim
+    kv_dim = dims.kv_heads * dims.head_dim
+    if "wqkv" in layer:
+        qkv = x @ layer["wqkv"]
+        q = qkv[..., :q_dim]
+        k = qkv[..., q_dim : q_dim + kv_dim]
+        v = qkv[..., q_dim + kv_dim :]
+    else:
+        q = x @ layer["wq"]
+        k = x @ layer["wk"]
+        v = x @ layer["wv"]
+    q = q.reshape(*x.shape[:-1], dims.heads, dims.head_dim)
+    k = k.reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
+    v = v.reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
     if dims.qk_norm:
         q = rms_norm(q, layer["q_norm"], dims.eps)
         k = rms_norm(k, layer["k_norm"], dims.eps)
@@ -88,6 +114,10 @@ def _project_qkv(layer: dict, x: jnp.ndarray, dims: TrunkDims):
 
 
 def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "wgu" in layer:
+        inter = layer["down"].shape[-2]
+        gu = x @ layer["wgu"]
+        return (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]) @ layer["down"]
     return (jax.nn.silu(x @ layer["gate"]) * (x @ layer["up"])) @ layer["down"]
 
 
