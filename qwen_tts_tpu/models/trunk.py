@@ -91,10 +91,49 @@ def fuse_trunk_params(params: dict) -> dict:
     return fused
 
 
+def quantize_trunk_int8(params: dict) -> dict:
+    """Opt-in int8 weight quantization (per-output-channel symmetric scales)
+    for the projection matrices — halves the HBM weight traffic that
+    dominates AR decode (the sub-talker trunk is re-read 32× per frame).
+    Numerics change (≈int8 rounding); greedy parity is NOT preserved, so this
+    is a serving-throughput option, not the default."""
+    out = dict(params)
+    for k in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+        if k not in params:
+            continue
+        w = jnp.asarray(params[k], jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        out[k + "_i8"] = jnp.round(w / scale).astype(jnp.int8)
+        out[k + "_s"] = scale.astype(jnp.bfloat16)
+        del out[k]
+    return out
+
+
+def _w_matmul(layer: dict, key: str, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ W with optional int8-dequant path (convert fuses into the dot, so
+    only int8 bytes stream from HBM)."""
+    if key + "_i8" in layer:
+        w = layer[key + "_i8"].astype(x.dtype)
+        return (x @ w) * layer[key + "_s"].astype(x.dtype)
+    return x @ layer[key]
+
+
 def _project_qkv(layer: dict, x: jnp.ndarray, dims: TrunkDims):
     """x: [..., D] → q [..., H, hd], k/v [..., KV, hd] with QK-RMSNorm."""
     q_dim = dims.heads * dims.head_dim
     kv_dim = dims.kv_heads * dims.head_dim
+    if "wq_i8" in layer:
+        q = _w_matmul(layer, "wq", x)
+        k = _w_matmul(layer, "wk", x)
+        v = _w_matmul(layer, "wv", x)
+        q = q.reshape(*x.shape[:-1], dims.heads, dims.head_dim)
+        k = k.reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
+        v = v.reshape(*x.shape[:-1], dims.kv_heads, dims.head_dim)
+        if dims.qk_norm:
+            q = rms_norm(q, layer["q_norm"], dims.eps)
+            k = rms_norm(k, layer["k_norm"], dims.eps)
+        return q, k, v
     if "wqkv" in layer:
         qkv = x @ layer["wqkv"]
         q = qkv[..., :q_dim]
@@ -114,6 +153,9 @@ def _project_qkv(layer: dict, x: jnp.ndarray, dims: TrunkDims):
 
 
 def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "gate_i8" in layer:
+        h = jax.nn.silu(_w_matmul(layer, "gate", x)) * _w_matmul(layer, "up", x)
+        return _w_matmul(layer, "down", h)
     if "wgu" in layer:
         inter = layer["down"].shape[-2]
         gu = x @ layer["wgu"]
@@ -149,7 +191,9 @@ def trunk_prefill(
         attn = attention_prefill(
             q, k, v, pad_mask=pad_mask, sliding_window=sliding_window
         )
-        h = h + _maybe_scale(layer, "attn_scale", attn.reshape(*h.shape[:-1], -1) @ layer["wo"])
+        h = h + _maybe_scale(
+            layer, "attn_scale", _w_matmul(layer, "wo", attn.reshape(*h.shape[:-1], -1))
+        )
         h = h + _maybe_scale(
             layer, "mlp_scale", _mlp(layer, rms_norm(h, layer["post_attn_norm"], dims.eps))
         )
@@ -192,7 +236,9 @@ def trunk_decode_step(
             q, kc[l], vc[l],
             cur_len=cur_len, valid_from=valid_from, sliding_window=sliding_window,
         )
-        h = h + _maybe_scale(layer, "attn_scale", attn.reshape(h.shape[0], -1) @ layer["wo"])
+        h = h + _maybe_scale(
+            layer, "attn_scale", _w_matmul(layer, "wo", attn.reshape(h.shape[0], -1))
+        )
         h = h + _maybe_scale(
             layer, "mlp_scale", _mlp(layer, rms_norm(h, layer["post_attn_norm"], dims.eps))
         )

@@ -1,0 +1,33 @@
+"""int8 trunk quantization: structural checks + bounded numeric drift."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qwen_tts_tpu.models.trunk import (
+    TrunkDims,
+    init_trunk_params,
+    quantize_trunk_int8,
+    trunk_prefill,
+)
+from qwen_tts_tpu.ops.rope import rope_cos_sin
+
+DIMS = TrunkDims(num_layers=2, hidden=32, heads=4, kv_heads=2, head_dim=8,
+                 intermediate=64, eps=1e-6)
+
+
+def test_quantized_trunk_close_to_fp():
+    params = init_trunk_params(jax.random.PRNGKey(0), DIMS)
+    qparams = quantize_trunk_int8(params)
+    assert "wq" not in qparams and qparams["wq_i8"].dtype == jnp.int8
+    assert qparams["wq_s"].shape == (2, 1, 32)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32)) * 0.5
+    positions = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
+    cos, sin = rope_cos_sin(positions, 8, 10000.0)
+    out_fp, _, _ = trunk_prefill(params, DIMS, x, cos, sin)
+    out_q, _, _ = trunk_prefill(qparams, DIMS, x, cos, sin)
+    # int8 rounding drift stays small relative to activation scale.
+    err = np.abs(np.asarray(out_fp) - np.asarray(out_q))
+    scale = np.abs(np.asarray(out_fp)).mean()
+    assert err.mean() < 0.05 * scale + 0.05
