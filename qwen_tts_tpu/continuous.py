@@ -1,0 +1,274 @@
+"""Per-slot continuous batching: requests join and leave live decode slots.
+
+The decode state is fully per-row (generate.py DecodeState: per-row frame
+counters, cache positions, EOS and frame budgets), so one compiled segment
+program serves slots at arbitrary depths. The engine:
+
+* prefills an incoming request as a batch-of-1 program (fixed prefill bucket),
+* scatters its row into a free slot of the batched state (one jitted insert —
+  caches splice on the batch axis, per-row bookkeeping overwrites the slot),
+* repeatedly runs fixed-size decode segments over all slots,
+* drains finished slots (EOS or per-slot budget) to the codec and resolves
+  futures, freeing the slot for the next queued request.
+
+Compared to the window scheduler in serving.py, requests no longer wait for a
+whole batch generation to finish — admission latency is one segment
+(~segment_frames × per-frame time), and weight reads amortize over whatever
+mix of slots is live.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_tts_tpu.generate import (
+    DecodeState,
+    GenerationParams,
+    Prompt,
+    batch_prompts,
+    build_prompt,
+    decode_segment,
+    init_decode,
+)
+from qwen_tts_tpu.pipeline import Qwen3TTSModel
+
+
+@partial(jax.jit, donate_argnames=("state", "trailing", "limits"))
+def _insert_slot(
+    state: DecodeState,
+    trailing: jnp.ndarray,     # [B, T_cap, D]
+    limits: jnp.ndarray,       # [B]
+    slot: jnp.ndarray,         # scalar int32
+    sub: DecodeState,          # batch-of-1 state fresh from init_decode
+    sub_trailing: jnp.ndarray, # [T_cap, D]
+    sub_limit: jnp.ndarray,    # scalar int32
+):
+    def put(field, value):
+        return field.at[slot].set(value)
+
+    new_state = DecodeState(
+        tick=state.tick,
+        token=put(state.token, sub.token[0]),
+        hidden=put(state.hidden, sub.hidden[0].astype(state.hidden.dtype)),
+        k_cache=state.k_cache.at[:, slot].set(sub.k_cache[:, 0]),
+        v_cache=state.v_cache.at[:, slot].set(sub.v_cache[:, 0]),
+        presence=put(state.presence, sub.presence[0]),
+        eos=put(state.eos, sub.eos[0]),
+        num_gen=put(state.num_gen, sub.num_gen[0]),
+        prefix_len=put(state.prefix_len, sub.prefix_len[0]),
+        n_real=put(state.n_real, sub.n_real[0]),
+        valid_from=put(state.valid_from, sub.valid_from[0]),
+        rng=state.rng,
+    )
+    trailing = trailing.at[slot].set(sub_trailing.astype(trailing.dtype))
+    limits = limits.at[slot].set(sub_limit)
+    return new_state, trailing, limits
+
+
+@dataclasses.dataclass
+class _SlotRequest:
+    prompt: Prompt
+    params: GenerationParams
+    future: "Future[np.ndarray]" = dataclasses.field(default_factory=Future)
+
+
+class ContinuousBatchingEngine:
+    """Continuous-batching TTS serving engine over a fixed slot pool."""
+
+    def __init__(
+        self,
+        model: Qwen3TTSModel,
+        *,
+        num_slots: int = 8,
+        segment_frames: int = 25,
+        max_new_tokens: int = 512,
+        prefill_bucket: int = 64,
+        trailing_cap: int = 256,
+    ):
+        self.model = model
+        self.num_slots = num_slots
+        self.segment_frames = segment_frames
+        self.max_new_tokens = max_new_tokens
+        self.prefill_bucket = prefill_bucket
+        self.trailing_cap = trailing_cap
+        self.stats = {"requests": 0, "segments": 0, "frames": 0}
+
+        cfg = model.cfg.talker
+        dtype = model.talker_params["norm"].dtype
+        b = num_slots
+        s_max = prefill_bucket + max_new_tokens
+        from qwen_tts_tpu.models.talker import alloc_kv_cache
+
+        kc, vc = alloc_kv_cache(cfg, b, s_max, dtype)
+        self._state = DecodeState(
+            tick=jnp.int32(0),
+            token=jnp.zeros((b,), jnp.int32),
+            hidden=jnp.zeros((b, cfg.hidden_size), dtype),
+            k_cache=kc,
+            v_cache=vc,
+            presence=jnp.zeros((b, cfg.vocab_size), bool),
+            eos=jnp.ones((b,), bool),            # all slots start idle
+            num_gen=jnp.zeros((b,), jnp.int32),
+            prefix_len=jnp.full((b,), prefill_bucket, jnp.int32),
+            n_real=jnp.full((b,), prefill_bucket, jnp.int32),
+            valid_from=jnp.zeros((b,), jnp.int32),
+            rng=jax.random.PRNGKey(0),
+        )
+        self._trailing = jnp.zeros((b, trailing_cap, cfg.hidden_size), dtype)
+        self._limits = jnp.zeros((b,), jnp.int32)
+        self._slot_req: Dict[int, _SlotRequest] = {}
+        self._slot_codes: Dict[int, List[np.ndarray]] = {}
+        self._sampling = None  # pinned by the first request (static under jit)
+
+        self._queue: "queue.Queue[Optional[_SlotRequest]]" = queue.Queue()
+        self._running = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "ContinuousBatchingEngine":
+        self._running = True
+        self._worker.start()
+        return self
+
+    def stop(self):
+        self._running = False
+        self._queue.put(None)
+        self._worker.join(timeout=60)
+
+    # -- API ---------------------------------------------------------------
+
+    def submit_prompt(self, prompt: Prompt, params: GenerationParams
+                      ) -> "Future[np.ndarray]":
+        if prompt.embeds.shape[0] > self.prefill_bucket:
+            raise ValueError(
+                f"prompt length {prompt.embeds.shape[0]} exceeds the engine's "
+                f"prefill bucket {self.prefill_bucket}"
+            )
+        if prompt.trailing_text.shape[0] + 1 > self.trailing_cap:
+            raise ValueError("trailing text exceeds trailing_cap")
+        req = _SlotRequest(prompt, params)
+        self._queue.put(req)
+        return req.future
+
+    def submit_text(self, text: str, speaker=None, language="auto",
+                    **gen_kwargs) -> "Future[np.ndarray]":
+        ids = self.model._tokenize(self.model.build_assistant_text(text))
+        return self.submit_ids(ids, speaker=speaker, language=language,
+                               **gen_kwargs)
+
+    def submit_ids(self, ids, speaker=None, language="auto", **gen_kwargs
+                   ) -> "Future[np.ndarray]":
+        prompt = build_prompt(
+            self.model.talker_params, self.model.cfg, np.asarray(ids, np.int32),
+            language=language, speaker=speaker,
+            st_params=self.model.subtalker_params,
+        )
+        params = self.model._merge_params(
+            max_new_tokens=gen_kwargs.pop("max_new_tokens", None)
+            or self.max_new_tokens,
+            **gen_kwargs,
+        )
+        return self.submit_prompt(prompt, params)
+
+    # -- internals ---------------------------------------------------------
+
+    def _admit(self, slot: int, req: _SlotRequest) -> None:
+        params = req.params
+        if self._sampling is None:
+            self._sampling = (params.talker_sampling(), params.subtalker_sampling())
+        embeds, mask, trailing, _ = batch_prompts(
+            [req.prompt], bucket=self.prefill_bucket
+        )
+        dtype = self.model.talker_params["norm"].dtype
+        sub = init_decode(
+            self.model.talker_params, self.model.subtalker_params,
+            self.model.cfg.talker,
+            jnp.asarray(embeds, dtype), jnp.asarray(mask),
+            sampling=self._sampling[0],
+            max_cache_len=self.prefill_bucket + self.max_new_tokens,
+            rng=jax.random.fold_in(jax.random.PRNGKey(params.seed),
+                                   self.stats["requests"]),
+        )
+        # Fixed-shape trailing row (pad with the prompt's tts_pad embed, which
+        # is what the trailing buffer's overflow rows must hold).
+        d = trailing.shape[-1]
+        row = np.empty((self.trailing_cap, d), np.float32)
+        n = min(trailing.shape[1], self.trailing_cap)
+        row[:n] = trailing[0, :n]
+        row[n:] = req.prompt.tts_pad_embed
+        limit = min(params.max_new_tokens, self.max_new_tokens)
+        self._state, self._trailing, self._limits = _insert_slot(
+            self._state, self._trailing, self._limits,
+            jnp.int32(slot), sub, jnp.asarray(row), jnp.int32(limit),
+        )
+        self._slot_req[slot] = req
+        self._slot_codes[slot] = []
+        self.stats["requests"] += 1
+
+    def _finish(self, slot: int) -> None:
+        req = self._slot_req.pop(slot)
+        codes = self._slot_codes.pop(slot)
+        try:
+            merged = (np.concatenate(codes, axis=0) if codes
+                      else np.zeros((0, self.model.cfg.talker.num_code_groups),
+                                    np.int32))
+            wav = self.model.decode_codes([merged])[0]
+            req.future.set_result(wav)
+        except Exception as exc:
+            if not req.future.done():
+                req.future.set_exception(exc)
+
+    def _run(self):
+        while self._running:
+            # Admit queued requests into free slots.
+            free = [i for i in range(self.num_slots) if i not in self._slot_req]
+            block = len(free) == self.num_slots  # fully idle → wait for work
+            while free:
+                try:
+                    req = self._queue.get(block=block, timeout=1.0 if block else 0)
+                except queue.Empty:
+                    break
+                if req is None:
+                    return
+                block = False
+                try:
+                    self._admit(free.pop(0), req)
+                except Exception as exc:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+            if not self._slot_req:
+                continue
+
+            prev_gen = np.asarray(self._state.num_gen)
+            self._state, seg_codes = decode_segment(
+                self.model.talker_params, self.model.subtalker_params,
+                self.model.cfg.talker, self._state, self._trailing,
+                sampling=self._sampling[0], st_sampling=self._sampling[1],
+                segment=self.segment_frames, step_limit=self._limits,
+            )
+            new_gen = np.asarray(self._state.num_gen)
+            eos = np.asarray(self._state.eos)
+            seg = np.asarray(seg_codes)
+            self.stats["segments"] += 1
+
+            for slot in list(self._slot_req):
+                fresh = int(new_gen[slot] - prev_gen[slot])
+                if fresh > 0:
+                    self._slot_codes[slot].append(seg[slot, :fresh])
+                    self.stats["frames"] += fresh
+                done = bool(eos[slot]) or int(new_gen[slot]) >= int(
+                    np.asarray(self._limits)[slot]
+                )
+                if done:
+                    self._finish(slot)

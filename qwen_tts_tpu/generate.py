@@ -304,16 +304,22 @@ class GenOutput(NamedTuple):
 
 class DecodeState(NamedTuple):
     """Carried decode-loop state — device-resident between streaming segments
-    so resuming costs no host transfer."""
+    so resuming costs no host transfer.
 
-    step: jnp.ndarray       # scalar int32 — frames attempted so far
+    All per-row fields are independent per slot: ``num_gen`` is each row's
+    frame counter and cache positions derive from ``prefix_len + num_gen``, so
+    slots at different sequence positions decode in the same program
+    (continuous batching)."""
+
+    tick: jnp.ndarray       # scalar int32 — loop iterations (rng/segment bookkeeping)
     token: jnp.ndarray      # [B] current codebook-0 token
     hidden: jnp.ndarray     # [B, D] talker post-norm hidden
     k_cache: jnp.ndarray    # [L, B, S_max, KV, hd]
     v_cache: jnp.ndarray
     presence: jnp.ndarray   # [B, V] repetition-penalty history
     eos: jnp.ndarray        # [B]
-    num_gen: jnp.ndarray    # [B]
+    num_gen: jnp.ndarray    # [B] per-row frames generated (the row's "step")
+    prefix_len: jnp.ndarray # [B] prefill length (cache slots used by the prefix)
     n_real: jnp.ndarray     # [B] unpadded prefix lengths
     valid_from: jnp.ndarray # [B] left-pad counts
     rng: jax.Array
@@ -344,19 +350,24 @@ def _frame_body(
     sampling: SamplingConfig,
     st_sampling: SamplingConfig,
     trailing: jnp.ndarray,
-    prefill_len: int,
+    step_limit: jnp.ndarray,   # [B] or scalar — per-row frame budget
     dtype,
 ):
     """One frame of the AR loop: sub-talker scan → Σ-embed + trailing →
-    talker step → sample. Shared by the one-shot batch loop and the
-    streaming-segment loop."""
+    talker step → sample. Shared by the one-shot batch loop, the streaming
+    segments, and the continuous-batching engine. All positions are per-row
+    (``num_gen``-derived), so slots may be at different depths."""
     eos_id = talker_cfg.codec_eos_token_id
     trailing_max = trailing.shape[1] - 1
     process_and_sample = _processor(talker_cfg, sampling)
 
     def body(st: DecodeState) -> Tuple[DecodeState, jnp.ndarray]:
-        rng = jax.random.fold_in(st.rng, st.step)
+        b = st.token.shape[0]
+        rows = jnp.arange(b)
+        rng = jax.random.fold_in(st.rng, st.tick)
         r_sub, r_tok = jax.random.split(rng)
+        limit_b = jnp.broadcast_to(jnp.asarray(step_limit), (b,))
+        active = ~st.eos & (st.num_gen < limit_b)
 
         # 1) sub-talker expands the current token into all groups.
         frame = st_mod.subtalker_generate(
@@ -364,19 +375,19 @@ def _frame_body(
             talker_params["codec_embedding"], st.hidden, st.token,
             st_sampling, r_sub,
         )  # [B, G]
-        active = ~st.eos
         num_gen = st.num_gen + active.astype(jnp.int32)
 
         # 2) next talker input: Σ group embeddings + trailing text / tts_pad.
         emb = st_mod.embed_groups_sum(
             st_params, talker_params["codec_embedding"], frame
         )
-        t_idx = jnp.minimum(st.step, trailing_max)
-        emb = emb + trailing[:, t_idx]
+        t_idx = jnp.minimum(st.num_gen, trailing_max)
+        emb = emb + trailing[rows, t_idx]
 
-        # 3) talker forward (rope position continues from each row's real len).
-        cur_len = jnp.int32(prefill_len) + st.step + 1
-        rope_pos = st.n_real + st.step
+        # 3) talker forward — per-row cache position and rope position.
+        #    Inactive rows rewrite their current slot (masked out, harmless).
+        cur_len = st.prefix_len + st.num_gen + 1
+        rope_pos = st.n_real + st.num_gen
         logits, hidden, kc, vc = talker_mod.talker_decode_step(
             talker_params, talker_cfg, emb.astype(dtype),
             rope_pos, st.k_cache, st.v_cache, cur_len, st.valid_from,
@@ -385,13 +396,15 @@ def _frame_body(
         # 4) sample the next codebook-0 token.
         token = process_and_sample(logits, st.presence, st.num_gen + 1, r_tok)
         token = jnp.where(active, token, st.token)
-        presence = st.presence.at[jnp.arange(st.token.shape[0]), token].set(True)
+        presence = st.presence.at[rows, token].set(True)
         eos = st.eos | (token == eos_id)
+        hidden = jnp.where(active[:, None], hidden, st.hidden)
 
         new_state = DecodeState(
-            step=st.step + 1, token=token, hidden=hidden,
+            tick=st.tick + 1, token=token, hidden=hidden,
             k_cache=kc, v_cache=vc, presence=presence, eos=eos,
-            num_gen=num_gen, n_real=st.n_real, valid_from=st.valid_from,
+            num_gen=num_gen, prefix_len=st.prefix_len,
+            n_real=st.n_real, valid_from=st.valid_from,
             rng=st.rng,
         )
         return new_state, frame
@@ -400,21 +413,23 @@ def _frame_body(
 
 
 def _segment_loop(body, state: DecodeState, segment: int, step_limit, g: int):
-    """Shared bounded loop: run up to ``segment`` frames (capped by the
-    dynamic ``step_limit``), collecting frames into a [B, segment, G] buffer."""
+    """Shared bounded loop: run up to ``segment`` ticks, collecting frames
+    into a [B, segment, G] buffer (row b's valid rows are its num_gen delta).
+    Exits early once every row is done (EOS or its per-row ``step_limit``)."""
     b = state.token.shape[0]
-    start = state.step
+    start = state.tick
+    limit_b = jnp.broadcast_to(jnp.asarray(step_limit), (b,))
 
     def cond(carry):
         st, _ = carry
-        return ((st.step - start < segment) & (st.step < step_limit)
-                & ~jnp.all(st.eos))
+        any_active = jnp.any(~st.eos & (st.num_gen < limit_b))
+        return (st.tick - start < segment) & any_active
 
     def loop_body(carry):
         st, buf = carry
         st2, frame = body(st)
         buf = jax.lax.dynamic_update_slice(
-            buf, frame[:, None, :], (0, st.step - start, 0)
+            buf, frame[:, None, :], (0, st.tick - start, 0)
         )
         return st2, buf
 
@@ -466,7 +481,7 @@ def init_decode(
     )
     presence = presence.at[jnp.arange(b), token0].set(True)
     state = DecodeState(
-        step=jnp.int32(0),
+        tick=jnp.int32(0),
         token=token0,
         hidden=pre.last_hidden,
         k_cache=pre.k_cache,
@@ -474,26 +489,26 @@ def init_decode(
         presence=presence,
         eos=token0 == talker_cfg.codec_eos_token_id,
         num_gen=jnp.zeros((b,), jnp.int32),
+        prefix_len=jnp.full((b,), s, jnp.int32),
         n_real=n_real,
         valid_from=valid_from,
         rng=rng,
     )
     if first_segment <= 0:
         return state
-    body = _frame_body(
-        talker_params, st_params, talker_cfg, sampling, st_sampling,
-        trailing, s, talker_params["norm"].dtype,
-    )
     if step_limit is None:
         step_limit = jnp.int32(first_segment)
+    body = _frame_body(
+        talker_params, st_params, talker_cfg, sampling, st_sampling,
+        trailing, step_limit, talker_params["norm"].dtype,
+    )
     return _segment_loop(body, state, first_segment, step_limit,
                          talker_cfg.num_code_groups)
 
 
 @partial(
     jax.jit,
-    static_argnames=("talker_cfg", "sampling", "st_sampling", "segment",
-                     "prefill_len"),
+    static_argnames=("talker_cfg", "sampling", "st_sampling", "segment"),
     donate_argnames=("state",),
 )
 def decode_segment(
@@ -506,7 +521,6 @@ def decode_segment(
     sampling: SamplingConfig,
     st_sampling: SamplingConfig,
     segment: int,
-    prefill_len: int,
     step_limit: Optional[jnp.ndarray] = None,
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """Run up to ``segment`` frames, resumable. Returns (state, seg_codes
@@ -514,16 +528,16 @@ def decode_segment(
     This is the dual-track streaming engine: codes stream out per segment
     while the KV cache stays device-resident.
 
-    ``step_limit`` is a *dynamic* global cap on total frames (max_new_tokens)
-    so a trailing partial segment reuses the compiled steady-segment program
-    instead of triggering a new shape."""
+    ``step_limit`` is a *dynamic* per-row (or scalar) cap on each row's total
+    frames (max_new_tokens) so a trailing partial segment reuses the compiled
+    steady-segment program instead of triggering a new shape."""
     dtype = talker_params["norm"].dtype
+    if step_limit is None:
+        step_limit = state.num_gen + segment
     body = _frame_body(
         talker_params, st_params, talker_cfg, sampling, st_sampling,
-        trailing, prefill_len, dtype,
+        trailing, step_limit, dtype,
     )
-    if step_limit is None:
-        step_limit = state.step + segment
     return _segment_loop(body, state, segment, step_limit,
                          talker_cfg.num_code_groups)
 

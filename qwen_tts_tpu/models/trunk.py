@@ -211,13 +211,19 @@ def trunk_decode_step(
     sin: jnp.ndarray,
     k_cache: jnp.ndarray,  # [L, B, S_max, KV, hd]
     v_cache: jnp.ndarray,
-    cur_len: jnp.ndarray,  # scalar int32 — sequence length *including* this token
+    cur_len: jnp.ndarray,  # int32 scalar or [B] — length *including* this token
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B]
     sliding_window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-token forward across all layers. Returns (hidden, k_cache, v_cache)."""
-    write_pos = cur_len - 1
+    """Single-token forward across all layers. Returns (hidden, k_cache, v_cache).
+
+    ``cur_len`` may be per-row ([B]) — continuous-batching slots then write
+    their K/V at independent cache positions (one scatter per layer)."""
+    b = hidden.shape[0]
+    cur_len_b = jnp.broadcast_to(jnp.asarray(cur_len), (b,))
+    write_pos = cur_len_b - 1
+    rows = jnp.arange(b)
 
     def body(l, carry):
         h, kc, vc = carry
@@ -226,15 +232,11 @@ def trunk_decode_step(
         q, k, v = _project_qkv(layer, x, dims)
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
-        kc = jax.lax.dynamic_update_slice(
-            kc, k[None, :, None].astype(kc.dtype), (l, 0, write_pos, 0, 0)
-        )
-        vc = jax.lax.dynamic_update_slice(
-            vc, v[None, :, None].astype(vc.dtype), (l, 0, write_pos, 0, 0)
-        )
+        kc = kc.at[l, rows, write_pos].set(k.astype(kc.dtype))
+        vc = vc.at[l, rows, write_pos].set(v.astype(vc.dtype))
         attn = attention_decode_step(
             q, kc[l], vc[l],
-            cur_len=cur_len, valid_from=valid_from, sliding_window=sliding_window,
+            cur_len=cur_len_b, valid_from=valid_from, sliding_window=sliding_window,
         )
         h = h + _maybe_scale(
             layer, "attn_scale", _w_matmul(layer, "wo", attn.reshape(h.shape[0], -1))

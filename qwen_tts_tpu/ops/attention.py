@@ -73,7 +73,7 @@ def attention_decode_step(
     k_cache: jnp.ndarray,  # [B, S_max, KV, hd] (already contains the new k)
     v_cache: jnp.ndarray,  # [B, S_max, KV, hd]
     *,
-    cur_len: jnp.ndarray,  # scalar int32: valid positions are [0, cur_len)
+    cur_len: jnp.ndarray,  # int32 scalar or [B]: row b's valid region is [0, cur_len_b)
     valid_from: Optional[jnp.ndarray] = None,  # [B] first real position (left pad)
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
@@ -83,6 +83,8 @@ def attention_decode_step(
     This is the TPU analogue of the Metal fused decode-attention kernel
     (metal/qwen_tts_metal_kernels.metal:596-672): one pass over the cache,
     masked by position rather than sliced, so the jitted shape never changes.
+    Per-row ``cur_len`` supports continuous batching (slots at different
+    sequence positions share one program).
     """
     b, h, hd = q.shape
     s_max = k_cache.shape[1]
@@ -96,12 +98,13 @@ def attention_decode_step(
         "bkgd,bjkd->bkgj", qg, k_cache, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
 
+    cur_len_b = jnp.broadcast_to(jnp.asarray(cur_len), (b,))
     j_idx = jnp.arange(s_max)
-    mask = j_idx[None, :] < cur_len
+    mask = j_idx[None, :] < cur_len_b[:, None]
     if valid_from is not None:
         mask = mask & (j_idx[None, :] >= valid_from[:, None])
     if sliding_window is not None:
-        mask = mask & (j_idx[None, :] > cur_len - 1 - sliding_window)
+        mask = mask & (j_idx[None, :] > cur_len_b[:, None] - 1 - sliding_window)
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
 
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))

@@ -459,7 +459,7 @@ class Qwen3TTSModel:
             done = (
                 fresh <= 0
                 or bool(np.asarray(state.eos).all())
-                or int(np.asarray(state.step)) >= params.max_new_tokens
+                or int(np.asarray(state.num_gen).max()) >= params.max_new_tokens
             )
             if done:
                 break
@@ -468,7 +468,7 @@ class Qwen3TTSModel:
                 state, trailing_j,
                 sampling=params.talker_sampling(),
                 st_sampling=params.subtalker_sampling(),
-                segment=chunk_frames, prefill_len=s, step_limit=step_limit,
+                segment=chunk_frames, step_limit=step_limit,
             )
 
     def extract_speaker_embedding(self, audio: np.ndarray, sr: int) -> np.ndarray:

@@ -175,18 +175,32 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=30.0)
     p.add_argument("--max-tokens", type=int, default=512)
+    p.add_argument("--continuous", action="store_true",
+                   help="per-slot continuous batching (requests join live "
+                        "decode slots) instead of window batching")
+    p.add_argument("--segment-frames", type=int, default=25)
+    p.add_argument("--prefill-bucket", type=int, default=64)
     args = p.parse_args(argv)
 
     from qwen_tts_tpu.pipeline import Qwen3TTSModel
-    from qwen_tts_tpu.serving import ServingEngine
     from qwen_tts_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     model = Qwen3TTSModel.from_pretrained(args.model_dir)
-    engine = ServingEngine(
-        model, max_batch=args.batch, max_wait_ms=args.max_wait_ms,
-        max_new_tokens=args.max_tokens,
-    ).start()
+    if args.continuous:
+        from qwen_tts_tpu.continuous import ContinuousBatchingEngine
+
+        engine = ContinuousBatchingEngine(
+            model, num_slots=args.batch, segment_frames=args.segment_frames,
+            max_new_tokens=args.max_tokens, prefill_bucket=args.prefill_bucket,
+        ).start()
+    else:
+        from qwen_tts_tpu.serving import ServingEngine
+
+        engine = ServingEngine(
+            model, max_batch=args.batch, max_wait_ms=args.max_wait_ms,
+            max_new_tokens=args.max_tokens,
+        ).start()
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(engine, model))
     print(f"qwen-tts-serve listening on {args.host}:{args.port}",

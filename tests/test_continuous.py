@@ -1,0 +1,98 @@
+"""Continuous batching: slot insertion, staggered admission, and token-exact
+greedy parity vs solo decoding."""
+
+import dataclasses
+import time
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ckpt_fixture import make_checkpoint
+from qwen_tts_tpu.continuous import ContinuousBatchingEngine
+from qwen_tts_tpu.generate import GenerationParams, build_prompt
+from qwen_tts_tpu.pipeline import Qwen3TTSModel
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cont_ckpt")
+    make_checkpoint(str(d))
+    return Qwen3TTSModel.from_pretrained(
+        str(d), talker_dtype=jnp.float32, load_tokenizer=False
+    )
+
+
+def _prompt(model, ids):
+    return build_prompt(
+        model.talker_params, model.cfg, np.asarray(ids, np.int32),
+        language="english", speaker="aiden",
+        st_params=model.subtalker_params,
+    )
+
+
+def _greedy(frames):
+    return GenerationParams(
+        max_new_tokens=frames, min_new_tokens=frames,
+        do_sample=False, subtalker_do_sample=False, repetition_penalty=1.0,
+    )
+
+
+def test_continuous_matches_solo_greedy(model):
+    ids1 = [1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3]
+    ids2 = [1, 2, 3, 20, 21, 22, 23, 24, 4, 5, 1, 2, 3]
+    p1, p2 = _prompt(model, ids1), _prompt(model, ids2)
+    params = _greedy(6)
+
+    # Solo references (fixed 6 frames each, greedy).
+    solo = {}
+    for name, p in (("a", p1), ("b", p2)):
+        codes, _ = model.generate_codes_from_prompts([p], params)
+        solo[name] = codes[0]
+        assert solo[name].shape[0] == 6
+
+    engine = ContinuousBatchingEngine(
+        model, num_slots=3, segment_frames=2, max_new_tokens=16,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        fut1 = engine.submit_prompt(p1, params)
+        # Stagger: give the first request a head start so the second joins a
+        # live decode mid-flight (the continuous-batching case).
+        time.sleep(0.5)
+        fut2 = engine.submit_prompt(p2, params)
+        wav1 = fut1.result(timeout=300)
+        wav2 = fut2.result(timeout=300)
+    finally:
+        engine.stop()
+
+    # Token-exact parity: the engine's wavs must equal decoding the solo codes.
+    up = model.cfg.codec.decode_upsample_rate
+    assert wav1.shape[0] == 6 * up
+    assert wav2.shape[0] == 6 * up
+    want1 = model.decode_codes([solo["a"]])[0]
+    want2 = model.decode_codes([solo["b"]])[0]
+    np.testing.assert_allclose(wav1, want1, atol=1e-5)
+    np.testing.assert_allclose(wav2, want2, atol=1e-5)
+    assert engine.stats["requests"] == 2
+
+
+def test_continuous_many_requests_reuse_slots(model):
+    params = _greedy(3)
+    engine = ContinuousBatchingEngine(
+        model, num_slots=2, segment_frames=2, max_new_tokens=8,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        futs = []
+        for i in range(5):  # more requests than slots → slot reuse
+            ids = [1, 2, 3, 10 + i, 11 + i, 4, 5, 1, 2, 3]
+            futs.append(engine.submit_prompt(_prompt(model, ids), params))
+        wavs = [f.result(timeout=600) for f in futs]
+    finally:
+        engine.stop()
+    up = model.cfg.codec.decode_upsample_rate
+    for wav in wavs:
+        assert wav.shape[0] == 3 * up
+        assert np.isfinite(wav).all()
+    assert engine.stats["requests"] == 5
