@@ -21,24 +21,43 @@ import numpy as np
 
 
 class SpeechTokenizerEncoder:
-    def __init__(self, mimi_model, valid_num_quantizers: int,
+    def __init__(self, backend, valid_num_quantizers: int,
                  input_sample_rate: int, downsample_rate: int):
-        self.model = mimi_model
+        self._backend = backend  # ("jax", cfg, params) or ("torch", model)
         self.valid_num_quantizers = valid_num_quantizers
         self.input_sample_rate = input_sample_rate
         self.downsample_rate = downsample_rate
 
     @classmethod
-    def from_pretrained(cls, speech_tokenizer_dir: str) -> "SpeechTokenizerEncoder":
-        import torch
-        from transformers import MimiConfig, MimiModel
-
+    def from_pretrained(cls, speech_tokenizer_dir: str,
+                        backend: str = "jax") -> "SpeechTokenizerEncoder":
         with open(os.path.join(speech_tokenizer_dir, "config.json"),
                   encoding="utf-8") as f:
             cfg = json.load(f)
-        enc_cfg = MimiConfig(**(cfg.get("encoder_config") or {}))
-        model = MimiModel(enc_cfg)
+        enc_raw = cfg.get("encoder_config") or {}
+        meta = dict(
+            valid_num_quantizers=cfg.get("encoder_valid_num_quantizers", 16),
+            input_sample_rate=cfg.get("input_sample_rate", 24000),
+            downsample_rate=cfg.get("encode_downsample_rate", 1920),
+        )
+        if backend == "jax":
+            from qwen_tts_tpu.io.safetensors import MultiSafeTensors
+            from qwen_tts_tpu.models.mimi_encoder import (
+                MimiEncoderConfig,
+                load_mimi_encoder,
+            )
 
+            st = MultiSafeTensors(speech_tokenizer_dir)
+            enc_cfg = MimiEncoderConfig.from_dict(enc_raw)
+            params = load_mimi_encoder(st, enc_cfg)
+            st.close()
+            return cls(("jax", enc_cfg, params), **meta)
+
+        # torch fallback (the reference's own path: HF MimiModel).
+        import torch
+        from transformers import MimiConfig, MimiModel
+
+        model = MimiModel(MimiConfig(**enc_raw))
         from qwen_tts_tpu.io.safetensors import MultiSafeTensors
 
         st = MultiSafeTensors(speech_tokenizer_dir)
@@ -49,43 +68,47 @@ class SpeechTokenizerEncoder:
                     np.asarray(st.get_f32(name)).copy()
                 )
         st.close()
-        missing, unexpected = model.load_state_dict(state, strict=False)
-        # Decoder halves are intentionally absent (nulled in the reference).
+        model.load_state_dict(state, strict=False)
         model.eval()
-        return cls(
-            model,
-            valid_num_quantizers=cfg.get("encoder_valid_num_quantizers", 16),
-            input_sample_rate=cfg.get("input_sample_rate", 24000),
-            downsample_rate=cfg.get("encode_downsample_rate", 1920),
-        )
+        return cls(("torch", model), **meta)
 
     def encode(
         self, wavs: Sequence[np.ndarray], sample_rate: int
     ) -> List[np.ndarray]:
         """Each waveform → [T_i, Q] int32 codes (per-sample, unpadded)."""
-        import torch
-
         if sample_rate != self.input_sample_rate:
             wavs = [resample_linear(w, sample_rate, self.input_sample_rate)
                     for w in wavs]
         lengths = [w.shape[0] for w in wavs]
         max_len = max(lengths)
         batch = np.zeros((len(wavs), max_len), np.float32)
-        mask = np.zeros((len(wavs), max_len), np.int64)
         for i, w in enumerate(wavs):
             batch[i, : w.shape[0]] = w
-            mask[i, : w.shape[0]] = 1
-        with torch.inference_mode():
-            out = self.model.encode(
-                input_values=torch.from_numpy(batch).unsqueeze(1),
-                return_dict=True,
-            )
-        codes = out.audio_codes[:, : self.valid_num_quantizers]  # [B, Q, T]
+
+        if self._backend[0] == "jax":
+            import jax.numpy as jnp
+
+            from qwen_tts_tpu.models.mimi_encoder import mimi_encode
+
+            _, enc_cfg, params = self._backend
+            codes = np.asarray(
+                mimi_encode(params, enc_cfg, jnp.asarray(batch))
+            )[:, : self.valid_num_quantizers]
+        else:
+            import torch
+
+            with torch.inference_mode():
+                out = self._backend[1].encode(
+                    input_values=torch.from_numpy(batch).unsqueeze(1),
+                    return_dict=True,
+                )
+            codes = out.audio_codes[:, : self.valid_num_quantizers].cpu().numpy()
+
         result = []
         for i, n in enumerate(lengths):
             t = -(-n // self.downsample_rate)  # ceil
             result.append(
-                codes[i, :, :t].transpose(0, 1).cpu().numpy().astype(np.int32)
+                np.ascontiguousarray(codes[i, :, :t].T).astype(np.int32)
             )
         return result
 
