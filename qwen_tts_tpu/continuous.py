@@ -80,6 +80,11 @@ class _SlotRequest:
     prompt: Prompt
     params: GenerationParams
     future: "Future[np.ndarray]" = dataclasses.field(default_factory=Future)
+    # Optional per-request streaming: called with (wav_chunk, done) as the
+    # slot's frames decode — merges low-latency streaming with continuous
+    # batching (each slot streams independently).
+    stream_callback: Optional[object] = None
+    emitted_frames: int = 0
 
 
 class ContinuousBatchingEngine:
@@ -148,8 +153,8 @@ class ContinuousBatchingEngine:
 
     # -- API ---------------------------------------------------------------
 
-    def submit_prompt(self, prompt: Prompt, params: GenerationParams
-                      ) -> "Future[np.ndarray]":
+    def submit_prompt(self, prompt: Prompt, params: GenerationParams,
+                      stream_callback=None) -> "Future[np.ndarray]":
         if prompt.embeds.shape[0] > self.prefill_bucket:
             raise ValueError(
                 f"prompt length {prompt.embeds.shape[0]} exceeds the engine's "
@@ -157,7 +162,7 @@ class ContinuousBatchingEngine:
             )
         if prompt.trailing_text.shape[0] + 1 > self.trailing_cap:
             raise ValueError("trailing text exceeds trailing_cap")
-        req = _SlotRequest(prompt, params)
+        req = _SlotRequest(prompt, params, stream_callback=stream_callback)
         self._queue.put(req)
         return req.future
 
@@ -216,6 +221,33 @@ class ContinuousBatchingEngine:
         self._slot_codes[slot] = []
         self.stats["requests"] += 1
 
+    def _stream_emit(self, slot: int, done: bool) -> None:
+        """Incrementally decode + emit a slot's fresh frames (the pipeline's
+        chunked-decode pattern: re-decode a left context, discard it)."""
+        req = self._slot_req[slot]
+        codes = self._slot_codes[slot]
+        total = sum(c.shape[0] for c in codes)
+        fresh = total - req.emitted_frames
+        if fresh <= 0:
+            if done:
+                req.stream_callback(
+                    np.zeros((0,), np.float32), True
+                )
+            return
+        dec_cfg = self.model.cfg.codec.decoder
+        nq = dec_cfg.num_quantizers
+        up = self.model.cfg.codec.decode_upsample_rate
+        merged = np.concatenate(codes, axis=0)[:, :nq]
+        ctx = min(25, req.emitted_frames)
+        window = merged[req.emitted_frames - ctx :]
+        import jax.numpy as jnp
+
+        wav = np.asarray(self.model._codec_decode_jit(
+            self.model.codec_params, dec_cfg, jnp.asarray(window[None])
+        ))[0, ctx * up :]
+        req.emitted_frames = total
+        req.stream_callback(wav, done)
+
     def _finish(self, slot: int) -> None:
         req = self._slot_req.pop(slot)
         codes = self._slot_codes.pop(slot)
@@ -223,8 +255,11 @@ class ContinuousBatchingEngine:
             merged = (np.concatenate(codes, axis=0) if codes
                       else np.zeros((0, self.model.cfg.talker.num_code_groups),
                                     np.int32))
-            wav = self.model.decode_codes([merged])[0]
-            req.future.set_result(wav)
+            if req.stream_callback is not None:
+                req.future.set_result(np.zeros((0,), np.float32))
+            else:
+                wav = self.model.decode_codes([merged])[0]
+                req.future.set_result(wav)
         except Exception as exc:
             if not req.future.done():
                 req.future.set_exception(exc)
@@ -262,13 +297,19 @@ class ContinuousBatchingEngine:
             seg = np.asarray(seg_codes)
             self.stats["segments"] += 1
 
+            limits = np.asarray(self._limits)
             for slot in list(self._slot_req):
                 fresh = int(new_gen[slot] - prev_gen[slot])
                 if fresh > 0:
                     self._slot_codes[slot].append(seg[slot, :fresh])
                     self.stats["frames"] += fresh
-                done = bool(eos[slot]) or int(new_gen[slot]) >= int(
-                    np.asarray(self._limits)[slot]
-                )
+                done = bool(eos[slot]) or int(new_gen[slot]) >= int(limits[slot])
+                req = self._slot_req[slot]
+                if req.stream_callback is not None and (fresh > 0 or done):
+                    try:
+                        self._stream_emit(slot, done)
+                    except Exception as exc:
+                        if not req.future.done():
+                            req.future.set_exception(exc)
                 if done:
                     self._finish(slot)
