@@ -40,6 +40,8 @@ from qwen_tts_tpu.generate import (
     decode_segment,
     init_decode,
 )
+from qwen_tts_tpu.ops.sampling import SamplingConfig
+from qwen_tts_tpu.ops.sampling_vec import VecSampling
 from qwen_tts_tpu.pipeline import Qwen3TTSModel
 
 
@@ -133,7 +135,11 @@ class ContinuousBatchingEngine:
         self._limits = jnp.zeros((b,), jnp.int32)
         self._slot_req: Dict[int, _SlotRequest] = {}
         self._slot_codes: Dict[int, List[np.ndarray]] = {}
-        self._sampling = None  # pinned by the first request (static under jit)
+        # Talker sampling controls are fully per-row (VecSampling); the
+        # sub-talker's controls are engine-wide (pinned by the first request —
+        # per-row sub-talker sampling is a TODO).
+        self._vec = VecSampling.broadcast(SamplingConfig(), b)
+        self._sampling = None
 
         self._queue: "queue.Queue[Optional[_SlotRequest]]" = queue.Queue()
         self._running = False
@@ -192,6 +198,7 @@ class ContinuousBatchingEngine:
         params = req.params
         if self._sampling is None:
             self._sampling = (params.talker_sampling(), params.subtalker_sampling())
+        self._vec = self._vec.set_row(slot, params.talker_sampling())
         embeds, mask, trailing, _ = batch_prompts(
             [req.prompt], bucket=self.prefill_bucket
         )
@@ -291,6 +298,7 @@ class ContinuousBatchingEngine:
                 self.model.cfg.talker, self._state, self._trailing,
                 sampling=self._sampling[0], st_sampling=self._sampling[1],
                 segment=self.segment_frames, step_limit=self._limits,
+                vec_sampling=self._vec,
             )
             new_gen = np.asarray(self._state.num_gen)
             eos = np.asarray(self._state.eos)

@@ -34,6 +34,11 @@ from qwen_tts_tpu.ops.sampling import (
     build_suppress_mask,
     sample_token,
 )
+from qwen_tts_tpu.ops.sampling_vec import (
+    VecSampling,
+    apply_repetition_penalty_vec,
+    sample_token_vec,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -325,13 +330,26 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
-def _processor(talker_cfg: TalkerConfig, sampling: SamplingConfig):
+def _processor(talker_cfg: TalkerConfig, sampling: SamplingConfig,
+               vec_sampling: "Optional[VecSampling]" = None):
+    """Logits pipeline: suppress → min-new-tokens EOS ban → repetition
+    penalty → sample. With ``vec_sampling`` every control is per-row
+    (continuous batching serves heterogeneous requests in one program)."""
     vocab = talker_cfg.vocab_size
     eos_id = talker_cfg.codec_eos_token_id
     suppress = build_suppress_mask(vocab, eos_id, tail=talker_cfg.suppress_tail)
 
     def process_and_sample(logits, presence, num_sampled, step_rng):
         logits = apply_suppress_mask(logits, suppress[None])
+        if vec_sampling is not None:
+            ban = num_sampled < vec_sampling.min_new_tokens   # [B]
+            logits = jnp.where(
+                ban[:, None] & (jnp.arange(vocab)[None] == eos_id), -1e9, logits
+            )
+            logits = apply_repetition_penalty_vec(
+                logits, presence, vec_sampling.repetition_penalty
+            )
+            return sample_token_vec(logits, vec_sampling, step_rng)
         if sampling.min_new_tokens > 0:
             ban = num_sampled < sampling.min_new_tokens      # [B]
             logits = jnp.where(
@@ -352,6 +370,7 @@ def _frame_body(
     trailing: jnp.ndarray,
     step_limit: jnp.ndarray,   # [B] or scalar — per-row frame budget
     dtype,
+    vec_sampling: "Optional[VecSampling]" = None,
 ):
     """One frame of the AR loop: sub-talker scan → Σ-embed + trailing →
     talker step → sample. Shared by the one-shot batch loop, the streaming
@@ -359,7 +378,7 @@ def _frame_body(
     (``num_gen``-derived), so slots may be at different depths."""
     eos_id = talker_cfg.codec_eos_token_id
     trailing_max = trailing.shape[1] - 1
-    process_and_sample = _processor(talker_cfg, sampling)
+    process_and_sample = _processor(talker_cfg, sampling, vec_sampling)
 
     def body(st: DecodeState) -> Tuple[DecodeState, jnp.ndarray]:
         b = st.token.shape[0]
@@ -522,6 +541,7 @@ def decode_segment(
     st_sampling: SamplingConfig,
     segment: int,
     step_limit: Optional[jnp.ndarray] = None,
+    vec_sampling: Optional[VecSampling] = None,
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """Run up to ``segment`` frames, resumable. Returns (state, seg_codes
     [B, segment, G]); valid rows/frames are derivable from num_gen deltas.
@@ -536,7 +556,7 @@ def decode_segment(
         step_limit = state.num_gen + segment
     body = _frame_body(
         talker_params, st_params, talker_cfg, sampling, st_sampling,
-        trailing, step_limit, dtype,
+        trailing, step_limit, dtype, vec_sampling=vec_sampling,
     )
     return _segment_loop(body, state, segment, step_limit,
                          talker_cfg.num_code_groups)

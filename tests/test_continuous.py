@@ -77,6 +77,37 @@ def test_continuous_matches_solo_greedy(model):
     assert engine.stats["requests"] == 2
 
 
+def test_heterogeneous_sampling_per_slot(model):
+    """A greedy request and a sampled request decode concurrently; the greedy
+    slot must still match its solo greedy trace (per-row VecSampling)."""
+    p_greedy = _prompt(model, [1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3])
+    p_sampled = _prompt(model, [1, 2, 3, 30, 31, 32, 4, 5, 1, 2, 3])
+    g_params = _greedy(5)
+    s_params = GenerationParams(
+        max_new_tokens=5, min_new_tokens=5, do_sample=True,
+        temperature=1.3, top_k=8, subtalker_do_sample=False,
+    )
+    solo, _ = model.generate_codes_from_prompts([p_greedy], g_params)
+    want = model.decode_codes(solo)[0]
+
+    engine = ContinuousBatchingEngine(
+        model, num_slots=2, segment_frames=2, max_new_tokens=8,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        # Sampled request first → pins the engine's static config to a
+        # SAMPLED one; the greedy request must still be greedy via VecSampling.
+        fut_s = engine.submit_prompt(p_sampled, s_params)
+        fut_g = engine.submit_prompt(p_greedy, g_params)
+        wav_s = fut_s.result(timeout=300)
+        wav_g = fut_g.result(timeout=300)
+    finally:
+        engine.stop()
+    up = model.cfg.codec.decode_upsample_rate
+    assert wav_s.shape[0] == 5 * up
+    np.testing.assert_allclose(wav_g, want, atol=1e-5)
+
+
 def test_continuous_many_requests_reuse_slots(model):
     params = _greedy(3)
     engine = ContinuousBatchingEngine(
