@@ -232,8 +232,18 @@ def trunk_decode_step(
         q, k, v = _project_qkv(layer, x, dims)
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
-        kc = kc.at[l, rows, write_pos].set(k.astype(kc.dtype))
-        vc = vc.at[l, rows, write_pos].set(v.astype(vc.dtype))
+        if b == 1:
+            # Single row (streaming / prefill-of-one): a contiguous dynamic
+            # slice write is cheaper than a scatter.
+            kc = jax.lax.dynamic_update_slice(
+                kc, k[None, :, None].astype(kc.dtype), (l, 0, write_pos[0], 0, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, v[None, :, None].astype(vc.dtype), (l, 0, write_pos[0], 0, 0)
+            )
+        else:
+            kc = kc.at[l, rows, write_pos].set(k.astype(kc.dtype))
+            vc = vc.at[l, rows, write_pos].set(v.astype(vc.dtype))
         attn = attention_decode_step(
             q, kc[l], vc[l],
             cur_len=cur_len_b, valid_from=valid_from, sliding_window=sliding_window,
