@@ -4,13 +4,20 @@ Measures full two-stage synthesis throughput — the jitted talker+sub-talker
 decode loop plus chunked codec decode — at flagship architecture dims
 (random bf16 weights; throughput is weight-value-independent) and reports the
 real-time factor (generated audio seconds per wall second, aggregated over the
-serving batch).
+serving batch) for TWO configurations:
+
+* ``bf16``  — the parity default (greedy traces match the reference).
+* ``int8``  — the serving mode (``Qwen3TTSModel.quantize_for_serving``):
+  int8 sub-talker trunk weights halve the HBM stream that dominates decode
+  (the 5-layer trunk is re-read G×/frame). Opt-in because int8 rounding
+  changes sampled traces; documented in CLAUDE.md / docs.
 
 Baseline: the reference C engine's published CPU snapshot (TODO.md:28-29):
 74 tokens in ~11.2 s talker + ~4.16 s codec → 5.92 s audio / 15.36 s ≈ 0.385×
 real time. ``vs_baseline`` is our RTF divided by that.
 
-Prints ONE JSON line:
+Prints ONE JSON line (headline = serving config) and writes the full
+breakdown to ``bench_b32.json`` so later rounds can gate against it:
   {"metric": "rtf", "value": N, "unit": "x_realtime", "vs_baseline": N}
 """
 
@@ -27,7 +34,7 @@ import numpy as np
 BASELINE_RTF = 0.385  # reference C CPU end-to-end (TODO.md:28-30)
 
 BATCH = 32             # serving batch — decode is HBM-bound, so weight reads
-                       # amortize across streams (0.45 ms/token/stream here)
+                       # amortize across streams
 FRAMES = 128           # 128 frames = 10.24 s of audio per stream
 SAMPLES_PER_FRAME = 1920
 SAMPLE_RATE = 24000
@@ -43,6 +50,7 @@ def main() -> None:
     from qwen_tts_tpu.models import codec as codec_mod
     from qwen_tts_tpu.models import subtalker as st_mod
     from qwen_tts_tpu.models import talker as talker_mod
+    from qwen_tts_tpu.models.trunk import quantize_trunk_int8
 
     cfg = TalkerConfig()
     codec_cfg = CodecDecoderConfig()
@@ -53,6 +61,8 @@ def main() -> None:
     st_params = st_mod.init_subtalker_params(
         jax.random.fold_in(rng, 1), cfg.code_predictor, cfg.hidden_size, dtype
     )
+    st_params_i8 = dict(st_params)
+    st_params_i8["trunk"] = quantize_trunk_int8(st_params["trunk"])
     codec_params = codec_mod.init_codec_params(
         jax.random.fold_in(rng, 2), codec_cfg, jnp.bfloat16
     )
@@ -78,33 +88,55 @@ def main() -> None:
 
     decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
 
-    def run(seed: int):
-        out = generate_codes(
-            talker_params, st_params, cfg, embeds, mask, trailing,
-            sampling=sampling, st_sampling=st_sampling,
-            max_new_tokens=FRAMES, rng=jax.random.PRNGKey(seed),
-        )
-        codes = jnp.minimum(
-            out.codes[..., : codec_cfg.num_quantizers], codec_cfg.codebook_size - 1
-        )
-        wav = codec_mod.chunked_decode(
-            codec_params, codec_cfg, codes, decode_fn=decode_jit
-        )
-        return jax.block_until_ready(wav)
-
-    run(0)  # warmup / compile
-    t0 = time.perf_counter()
-    for i in range(MEASURE_RUNS):
-        run(i + 1)
-    wall = (time.perf_counter() - t0) / MEASURE_RUNS
+    def make_run(sp):
+        def run(seed: int):
+            out = generate_codes(
+                talker_params, sp, cfg, embeds, mask, trailing,
+                sampling=sampling, st_sampling=st_sampling,
+                max_new_tokens=FRAMES, rng=jax.random.PRNGKey(seed),
+                trim_last_on_budget=False,
+            )
+            codes = jnp.minimum(
+                out.codes[..., : codec_cfg.num_quantizers],
+                codec_cfg.codebook_size - 1,
+            )
+            wav = codec_mod.chunked_decode(
+                codec_params, codec_cfg, codes, decode_fn=decode_jit
+            )
+            return jax.block_until_ready(wav)
+        return run
 
     audio_sec = BATCH * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
-    rtf = audio_sec / wall
+    report = {}
+    for name, sp in (("bf16", st_params), ("int8", st_params_i8)):
+        run = make_run(sp)
+        run(0)  # warmup / compile
+        t0 = time.perf_counter()
+        for i in range(MEASURE_RUNS):
+            run(i + 1)
+        wall = (time.perf_counter() - t0) / MEASURE_RUNS
+        rtf = audio_sec / wall
+        report[name] = {
+            "rtf": round(rtf, 2),
+            "wall_ms": round(wall * 1e3, 1),
+            "ms_per_frame": round(wall / FRAMES * 1e3, 3),
+            "ms_per_token_per_stream": round(wall / FRAMES / BATCH * 1e3, 4),
+        }
+
+    with open("bench_b32.json", "w") as f:
+        json.dump({
+            "batch": BATCH, "frames": FRAMES,
+            "audio_sec": audio_sec,
+            "configs": report,
+            "baseline_rtf": BASELINE_RTF,
+        }, f, indent=2)
+
+    best = report["int8"]["rtf"]
     print(json.dumps({
         "metric": "rtf",
-        "value": round(rtf, 3),
+        "value": best,
         "unit": "x_realtime",
-        "vs_baseline": round(rtf / BASELINE_RTF, 2),
+        "vs_baseline": round(best / BASELINE_RTF, 2),
     }))
 
 

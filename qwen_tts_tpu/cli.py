@@ -129,7 +129,13 @@ def main(argv=None) -> int:
     for run in range(total_runs):
         measured = run >= args.benchmark_warmup
         t_gen = time.perf_counter()
-        codes, info = model.generate_codes_from_prompts([prompt], params)
+        codes, info = model.generate_codes_from_prompts(
+            [prompt], params,
+            # --fixed-codec-tokens keeps all n frames (C bench semantics,
+            # c/main.c:48); the default drops the unexpanded final frame on
+            # budget-exhausted rows like the Python reference.
+            trim_last_on_budget=args.fixed_codec_tokens <= 0,
+        )
         n = codes[0].shape[0]
         t_talker = time.perf_counter() - t_gen
         stop = "eos" if info["stopped"][0] else "max_tokens"

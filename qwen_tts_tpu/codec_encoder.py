@@ -2,13 +2,13 @@
 
 The reference's encoder is the public HuggingFace Mimi model with its decoder
 halves nulled out (Qwen3TTSTokenizerV2Encoder,
-modeling_qwen3_tts_tokenizer_v2.py:899-908) — so, exactly like the reference,
-this wrapper drives `transformers.MimiModel`. It is a cold path (voice-clone
-prompt creation and finetuning data prep), runs on CPU torch, and keeps the
-reference's trim semantics (encode keeps the first
-``encoder_valid_num_quantizers`` codebooks and trims by the padding mask,
-modeling_...v2.py:961-991). A JAX/Pallas port of the encoder is roadmapped for
-a later round; nothing in the synthesis hot path depends on it.
+modeling_qwen3_tts_tokenizer_v2.py:899-908). The default backend here is the
+native JAX port (models/mimi_encoder.py, bit-matched against HF MimiModel in
+tests/test_mimi_encoder.py and against the reference V2 encode in
+tests/test_ref_parity.py); a torch MimiModel fallback remains for layouts the
+port doesn't recognize. Keeps the reference's trim semantics: the first
+``encoder_valid_num_quantizers`` codebooks, lengths trimmed by padding mask
+(modeling_...v2.py:961-991).
 """
 
 from __future__ import annotations

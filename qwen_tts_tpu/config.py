@@ -475,5 +475,11 @@ def tiny_tts_config() -> TTSConfig:
         enc_res2net_scale=4,
         enc_se_channels=16,
     )
+    # Text-domain special ids must live inside the tiny 512-row text
+    # embedding (the flagship defaults 151644+/151671+ would silently clamp
+    # in a JAX gather and hard-error in torch oracles).
     return TTSConfig(talker=talker, codec=codec, speaker_encoder=speaker,
-                     tts_model_type="custom_voice")
+                     tts_model_type="custom_voice",
+                     im_start_token_id=501, im_end_token_id=502,
+                     tts_pad_token_id=508, tts_bos_token_id=509,
+                     tts_eos_token_id=510)

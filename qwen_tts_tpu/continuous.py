@@ -101,6 +101,7 @@ class ContinuousBatchingEngine:
         max_new_tokens: int = 512,
         prefill_bucket: int = 64,
         trailing_cap: int = 256,
+        stream_context_frames: int = 25,
     ):
         self.model = model
         self.num_slots = num_slots
@@ -108,6 +109,7 @@ class ContinuousBatchingEngine:
         self.max_new_tokens = max_new_tokens
         self.prefill_bucket = prefill_bucket
         self.trailing_cap = trailing_cap
+        self.stream_context_frames = stream_context_frames
         self.stats = {"requests": 0, "segments": 0, "frames": 0}
 
         cfg = model.cfg.talker
@@ -135,11 +137,13 @@ class ContinuousBatchingEngine:
         self._limits = jnp.zeros((b,), jnp.int32)
         self._slot_req: Dict[int, _SlotRequest] = {}
         self._slot_codes: Dict[int, List[np.ndarray]] = {}
-        # Talker sampling controls are fully per-row (VecSampling); the
-        # sub-talker's controls are engine-wide (pinned by the first request —
-        # per-row sub-talker sampling is a TODO).
+        # Every sampling control — talker AND sub-talker — is per-row
+        # (VecSampling arrays riding the compiled program), so heterogeneous
+        # requests share one program with their own knobs from token 0.
         self._vec = VecSampling.broadcast(SamplingConfig(), b)
-        self._sampling = None
+        self._st_vec = VecSampling.broadcast(SamplingConfig(), b)
+        # Static configs are shape-only placeholders when vecs are present.
+        self._static_sampling = (SamplingConfig(), SamplingConfig())
 
         self._queue: "queue.Queue[Optional[_SlotRequest]]" = queue.Queue()
         self._running = False
@@ -196,9 +200,8 @@ class ContinuousBatchingEngine:
 
     def _admit(self, slot: int, req: _SlotRequest) -> None:
         params = req.params
-        if self._sampling is None:
-            self._sampling = (params.talker_sampling(), params.subtalker_sampling())
         self._vec = self._vec.set_row(slot, params.talker_sampling())
+        self._st_vec = self._st_vec.set_row(slot, params.subtalker_sampling())
         embeds, mask, trailing, _ = batch_prompts(
             [req.prompt], bucket=self.prefill_bucket
         )
@@ -207,7 +210,10 @@ class ContinuousBatchingEngine:
             self.model.talker_params, self.model.subtalker_params,
             self.model.cfg.talker,
             jnp.asarray(embeds, dtype), jnp.asarray(mask),
-            sampling=self._sampling[0],
+            sampling=self._static_sampling[0],
+            # Token 0 honors the request's OWN controls (do_sample /
+            # min_new_tokens / penalty), not an engine-wide pin.
+            vec_sampling=VecSampling.broadcast(params.talker_sampling(), 1),
             max_cache_len=self.prefill_bucket + self.max_new_tokens,
             rng=jax.random.fold_in(jax.random.PRNGKey(params.seed),
                                    self.stats["requests"]),
@@ -245,13 +251,16 @@ class ContinuousBatchingEngine:
         nq = dec_cfg.num_quantizers
         up = self.model.cfg.codec.decode_upsample_rate
         merged = np.concatenate(codes, axis=0)[:, :nq]
-        ctx = min(25, req.emitted_frames)
-        window = merged[req.emitted_frames - ctx :]
-        import jax.numpy as jnp
-
+        ctx = min(self.stream_context_frames, req.emitted_frames)
+        # Fixed-shape window (right-padded): the codec is causal, so pad
+        # frames never affect the emitted region — ONE compiled codec shape
+        # for the whole serving lifetime instead of one per chunk length.
+        window_len = self.stream_context_frames + self.segment_frames
+        window = np.zeros((1, window_len, nq), np.int32)
+        window[0, : ctx + fresh] = merged[req.emitted_frames - ctx :]
         wav = np.asarray(self.model._codec_decode_jit(
-            self.model.codec_params, dec_cfg, jnp.asarray(window[None])
-        ))[0, ctx * up :]
+            self.model.codec_params, dec_cfg, jnp.asarray(window)
+        ))[0, ctx * up : (ctx + fresh) * up]
         req.emitted_frames = total
         req.stream_callback(wav, done)
 
@@ -296,9 +305,10 @@ class ContinuousBatchingEngine:
             self._state, seg_codes = decode_segment(
                 self.model.talker_params, self.model.subtalker_params,
                 self.model.cfg.talker, self._state, self._trailing,
-                sampling=self._sampling[0], st_sampling=self._sampling[1],
+                sampling=self._static_sampling[0],
+                st_sampling=self._static_sampling[1],
                 segment=self.segment_frames, step_limit=self._limits,
-                vec_sampling=self._vec,
+                vec_sampling=self._vec, st_vec_sampling=self._st_vec,
             )
             new_gen = np.asarray(self._state.num_gen)
             eos = np.asarray(self._state.eos)
@@ -308,10 +318,16 @@ class ContinuousBatchingEngine:
             limits = np.asarray(self._limits)
             for slot in list(self._slot_req):
                 fresh = int(new_gen[slot] - prev_gen[slot])
+                done = bool(eos[slot]) or int(new_gen[slot]) >= int(limits[slot])
+                if done and not bool(eos[slot]) and fresh > 0:
+                    # Budget-exhausted slots drop their final frame (the
+                    # reference never expands the last cb0 token's groups,
+                    # modeling_qwen3_tts.py:2280-2291) — keeps continuous ==
+                    # one-shot generate_codes.
+                    fresh -= 1
                 if fresh > 0:
                     self._slot_codes[slot].append(seg[slot, :fresh])
                     self.stats["frames"] += fresh
-                done = bool(eos[slot]) or int(new_gen[slot]) >= int(limits[slot])
                 req = self._slot_req[slot]
                 if req.stream_callback is not None and (fresh > 0 or done):
                     try:

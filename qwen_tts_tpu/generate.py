@@ -371,6 +371,7 @@ def _frame_body(
     step_limit: jnp.ndarray,   # [B] or scalar — per-row frame budget
     dtype,
     vec_sampling: "Optional[VecSampling]" = None,
+    st_vec_sampling: "Optional[VecSampling]" = None,
 ):
     """One frame of the AR loop: sub-talker scan → Σ-embed + trailing →
     talker step → sample. Shared by the one-shot batch loop, the streaming
@@ -392,7 +393,7 @@ def _frame_body(
         frame = st_mod.subtalker_generate(
             st_params, talker_cfg.code_predictor,
             talker_params["codec_embedding"], st.hidden, st.token,
-            st_sampling, r_sub,
+            st_sampling, r_sub, vec_sampling=st_vec_sampling,
         )  # [B, G]
         num_gen = st.num_gen + active.astype(jnp.int32)
 
@@ -475,12 +476,19 @@ def init_decode(
     first_segment: int = 0,
     trailing: Optional[jnp.ndarray] = None,
     step_limit: Optional[jnp.ndarray] = None,
+    vec_sampling: Optional[VecSampling] = None,
+    st_vec_sampling: Optional[VecSampling] = None,
 ):
     """Prefill + first-token sample; returns the carried decode state.
 
     With ``first_segment > 0`` (requires ``trailing``/``st_sampling``), the
     first frames run inside the same program — one device dispatch from
-    request to first codes, which is what bounds first-packet latency."""
+    request to first codes, which is what bounds first-packet latency.
+
+    ``vec_sampling``/``st_vec_sampling`` make every control per-row from the
+    very first token (continuous batching admits requests through here, so
+    token 0 must honor the request's own do_sample/min_new_tokens — not
+    whatever config the engine was compiled with)."""
     b, s, _ = inputs_embeds.shape
     cache_dtype = talker_params["norm"].dtype
     k_cache, v_cache = talker_mod.alloc_kv_cache(
@@ -492,7 +500,7 @@ def init_decode(
     n_real = jnp.sum(pad_mask.astype(jnp.int32), axis=-1)
     valid_from = (s - n_real).astype(jnp.int32)
 
-    process_and_sample = _processor(talker_cfg, sampling)
+    process_and_sample = _processor(talker_cfg, sampling, vec_sampling)
     rng, r0 = jax.random.split(rng)
     presence = jnp.zeros((b, talker_cfg.vocab_size), bool)
     token0 = process_and_sample(
@@ -520,6 +528,7 @@ def init_decode(
     body = _frame_body(
         talker_params, st_params, talker_cfg, sampling, st_sampling,
         trailing, step_limit, talker_params["norm"].dtype,
+        vec_sampling=vec_sampling, st_vec_sampling=st_vec_sampling,
     )
     return _segment_loop(body, state, first_segment, step_limit,
                          talker_cfg.num_code_groups)
@@ -542,6 +551,7 @@ def decode_segment(
     segment: int,
     step_limit: Optional[jnp.ndarray] = None,
     vec_sampling: Optional[VecSampling] = None,
+    st_vec_sampling: Optional[VecSampling] = None,
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """Run up to ``segment`` frames, resumable. Returns (state, seg_codes
     [B, segment, G]); valid rows/frames are derivable from num_gen deltas.
@@ -557,6 +567,7 @@ def decode_segment(
     body = _frame_body(
         talker_params, st_params, talker_cfg, sampling, st_sampling,
         trailing, step_limit, dtype, vec_sampling=vec_sampling,
+        st_vec_sampling=st_vec_sampling,
     )
     return _segment_loop(body, state, segment, step_limit,
                          talker_cfg.num_code_groups)
@@ -574,8 +585,14 @@ def generate_codes(
     st_sampling: SamplingConfig,
     max_new_tokens: int,
     rng: jax.Array,
+    trim_last_on_budget: bool = True,
 ) -> GenOutput:
-    """Prefill + full AR loop — ONE device program (fused init + segment)."""
+    """Prefill + full AR loop — ONE device program (fused init + segment).
+
+    ``trim_last_on_budget=False`` keeps all ``max_new_tokens`` frames on
+    budget-exhausted rows (the C engine's --fixed-codec-tokens benchmark
+    semantics, c/main.c:48; the Python reference drops the unexpanded final
+    frame — see below)."""
     s = inputs_embeds.shape[1]
     state, codes = init_decode(
         talker_params, st_params, talker_cfg, inputs_embeds, pad_mask,
@@ -583,4 +600,14 @@ def generate_codes(
         max_cache_len=s + max_new_tokens, rng=rng,
         first_segment=max_new_tokens, trailing=trailing,
     )
-    return GenOutput(codes, state.num_gen, state.eos)
+    # Budget-exhausted rows lose their final frame: the reference expands a
+    # step's code groups lazily at the NEXT talker forward, so when generation
+    # stops at max_new_tokens the last cb0 token is never expanded and only
+    # max_new-1 frames reach the codec (modeling_qwen3_tts.py:2280-2291 —
+    # hidden_states carry one frame per *forward*, prefill excluded).
+    num_gen = state.num_gen
+    if trim_last_on_budget:
+        num_gen = jnp.where(
+            state.eos, num_gen, jnp.minimum(num_gen, max_new_tokens - 1)
+        )
+    return GenOutput(codes, num_gen, state.eos)

@@ -107,10 +107,27 @@ def subtalker_generate(
     first_code: jnp.ndarray,              # [B] codebook-0 token
     sampling: SamplingConfig,
     rng: Optional[jax.Array],
+    *,
+    vec_sampling=None,  # Optional[VecSampling] — per-row controls
+    unroll: Optional[int] = None,
+    unroll_layers: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run the full micro-decode for one frame. Returns codes [B, G] int32
     (slot 0 = first_code). Fully traceable — lives inside the jitted talker
-    decode loop."""
+    decode loop.
+
+    ``unroll`` / ``unroll_layers`` control straight-lining of the G-step scan
+    and the 5-layer trunk loop. Defaults are the measured-fastest per weight
+    format on v5e (scripts/bench_subtalker.py, b32 flagship dims): int8
+    weights want full straight-lining so the int8→bf16 dequant stays fused
+    into each dot (rolled loops let XLA hoist + materialize bf16 copies:
+    10.9→6.1 ms/frame int8Lu4 vs 9.2 rolled); bf16 weights run fastest with
+    the rolled fori/scan (unrolling regressed to 19.1 ms/frame)."""
+    is_int8 = "wq_i8" in params["trunk"]
+    if unroll is None:
+        unroll = 4 if is_int8 else 1
+    if unroll_layers is None:
+        unroll_layers = is_int8
     g = cfg.num_code_groups
     dims = subtalker_dims(cfg)
     b = prev_hidden.shape[0]
@@ -141,7 +158,8 @@ def subtalker_generate(
         cos = jnp.broadcast_to(cos_all[pos][None], (b, cfg.head_dim))
         sin = jnp.broadcast_to(sin_all[pos][None], (b, cfg.head_dim))
         hidden, kc, vc = trunk_decode_step(
-            params["trunk"], dims, x, cos, sin, kc, vc, pos + 1
+            params["trunk"], dims, x, cos, sin, kc, vc, pos + 1,
+            unroll_layers=unroll_layers,
         )
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
 
@@ -150,18 +168,26 @@ def subtalker_generate(
             params["lm_heads"], head_idx, axis=0, keepdims=False
         )
         logits = (hidden @ head).astype(jnp.float32)
-        code = sample_token(logits, sampling, step_rng)
+        if vec_sampling is not None:
+            # Per-row controls (continuous batching: each slot keeps its own
+            # subtalker_do_sample/temperature/top_k/top_p; the reference's
+            # sub-talker applies warpers only — no penalty/min-new).
+            from qwen_tts_tpu.ops.sampling_vec import sample_token_vec
+
+            code = sample_token_vec(logits, vec_sampling, step_rng)
+        else:
+            code = sample_token(logits, sampling, step_rng)
         # Position 0 produces no token; keep first_code as "previous".
         code = jnp.where(pos == 0, prev_code, code)
         return (kc, vc, code), code
 
-    if sampling.do_sample:
+    if rng is not None and (sampling.do_sample or vec_sampling is not None):
         rngs = jax.random.split(rng, g)
     else:
         rngs = jnp.zeros((g, 2), jnp.uint32)
     positions = jnp.arange(g, dtype=jnp.int32)
     (_, _, _), codes = jax.lax.scan(
-        step, (k_cache, v_cache, first_code), (positions, rngs)
+        step, (k_cache, v_cache, first_code), (positions, rngs), unroll=unroll
     )
     # codes[p] is the token emitted after position p; position 0 emitted none.
     # Groups 1..G-1 come from positions 1..G-1; stack group 0 in front.

@@ -215,11 +215,18 @@ def trunk_decode_step(
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B]
     sliding_window: Optional[int] = None,
+    unroll_layers: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-token forward across all layers. Returns (hidden, k_cache, v_cache).
 
     ``cur_len`` may be per-row ([B]) — continuous-batching slots then write
-    their K/V at independent cache positions (one scatter per layer)."""
+    their K/V at independent cache positions (one scatter per layer).
+
+    ``unroll_layers`` python-unrolls the layer loop: every weight reference
+    becomes a *static* slice of the stacked params, giving XLA a straight-line
+    program it can prefetch across (the ``fori_loop`` form reads each layer
+    via a dynamic slice it cannot hoist). Worth it for the sub-talker, whose
+    5-layer step runs G times per frame as the decode's HBM bottleneck."""
     b = hidden.shape[0]
     cur_len_b = jnp.broadcast_to(jnp.asarray(cur_len), (b,))
     write_pos = cur_len_b - 1
@@ -227,6 +234,8 @@ def trunk_decode_step(
 
     def body(l, carry):
         h, kc, vc = carry
+        # With a python-int l (unrolled) this is a static slice; with a traced
+        # l (fori_loop) it lowers to dynamic-slice reads per layer.
         layer = jax.tree_util.tree_map(lambda p: p[l], params)
         x = rms_norm(h, layer["input_norm"], dims.eps)
         q, k, v = _project_qkv(layer, x, dims)
@@ -256,7 +265,13 @@ def trunk_decode_step(
         )
         return h, kc, vc
 
-    hidden, k_cache, v_cache = jax.lax.fori_loop(
-        0, dims.num_layers, body, (hidden, k_cache, v_cache)
-    )
+    if unroll_layers:
+        carry = (hidden, k_cache, v_cache)
+        for l in range(dims.num_layers):
+            carry = body(l, carry)
+        hidden, k_cache, v_cache = carry
+    else:
+        hidden, k_cache, v_cache = jax.lax.fori_loop(
+            0, dims.num_layers, body, (hidden, k_cache, v_cache)
+        )
     return hidden, k_cache, v_cache

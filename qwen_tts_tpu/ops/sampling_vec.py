@@ -93,13 +93,18 @@ def sample_token_vec(
     )
     warped = jnp.where(warped < kth, NEG_INF, warped)
 
-    # Per-row top-p (HF semantics: keep tokens while the cumulative mass
-    # before them is < top_p; always keep the top token).
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    # Per-row top-p AFTER the top-k mask — the HF-warper chain the static
+    # path (ops/sampling.py sample_token) implements: the top-p softmax runs
+    # over the top-k-filtered distribution, so one-shot and continuous
+    # serving sample identically when both knobs are set.
+    sorted_k = jnp.where(
+        jnp.arange(v)[None, :] < k[:, None], sorted_logits, NEG_INF
+    )
+    probs = jax.nn.softmax(sorted_k, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep_sorted = (cum - probs) < vs.top_p[:, None]
     kept = jnp.maximum(jnp.sum(keep_sorted, axis=-1, keepdims=True), 1)
-    cutoff = jnp.take_along_axis(sorted_logits, kept - 1, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_k, kept - 1, axis=-1)
     apply_p = (vs.top_p < 1.0)[:, None]
     warped = jnp.where(apply_p & (warped < cutoff), NEG_INF, warped)
 

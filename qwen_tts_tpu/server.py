@@ -35,6 +35,11 @@ def _wav_bytes(samples: np.ndarray, rate: int) -> bytes:
 
 def make_handler(engine, model):
     class Handler(BaseHTTPRequestHandler):
+        # Chunked transfer framing is an HTTP/1.1 feature; the stdlib default
+        # (HTTP/1.0) would make read-to-EOF clients see raw chunk-size lines
+        # interleaved with the PCM payload.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -95,7 +100,9 @@ def make_handler(engine, model):
         def _submit_kwargs(self, req):
             kw = {}
             for k in ("max_new_tokens", "seed", "top_k", "top_p", "temperature",
-                      "repetition_penalty", "do_sample"):
+                      "repetition_penalty", "do_sample", "subtalker_dosample",
+                      "subtalker_top_k", "subtalker_top_p",
+                      "subtalker_temperature"):
                 if k in req:
                     kw[k] = req[k]
             return kw
@@ -135,10 +142,13 @@ def make_handler(engine, model):
                 params = model._merge_params(**self._submit_kwargs(req))
                 if "ids" in req:
                     ids = np.asarray(req["ids"], np.int32)
-                else:
+                elif "text" in req:
                     ids = model._tokenize(
                         model.build_assistant_text(req["text"])
                     )
+                else:
+                    self._json(400, {"error": "need 'text' or 'ids'"})
+                    return
                 from qwen_tts_tpu.generate import build_prompt
 
                 prompt = build_prompt(
@@ -156,13 +166,45 @@ def make_handler(engine, model):
             self.send_header("X-Sample-Rate", str(model.sample_rate))
             self.end_headers()
             try:
-                for wav, _sr in model.stream_from_prompt(prompt, params):
+                for wav in self._wav_chunks(prompt, params):
                     pcm = np.clip(wav * 32767.0, -32768, 32767).astype("<i2").tobytes()
+                    if not pcm:
+                        continue
                     self.wfile.write(f"{len(pcm):X}\r\n".encode())
                     self.wfile.write(pcm + b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
             except BrokenPipeError:
                 pass
+
+        def _wav_chunks(self, prompt, params):
+            """Audio chunk source: continuous engine slots when available
+            (N concurrent /stream clients share ONE compiled decode program,
+            each slot streaming independently via its callback), else the
+            solo resumable-segment path."""
+            if hasattr(engine, "submit_prompt"):
+                import queue as _q
+
+                chunks: "_q.Queue" = _q.Queue()
+                fut = engine.submit_prompt(
+                    prompt, params,
+                    stream_callback=lambda wav, done: chunks.put((wav, done)),
+                )
+                while True:
+                    try:
+                        wav, done = chunks.get(timeout=5.0)
+                    except _q.Empty:
+                        # Slot died without a final callback (its future
+                        # resolves with the exception) — end the stream.
+                        if fut.done():
+                            return
+                        continue
+                    if wav.size:
+                        yield wav
+                    if done:
+                        return
+            else:
+                for wav, _sr in model.stream_from_prompt(prompt, params):
+                    yield wav
 
     return Handler
 

@@ -9,10 +9,11 @@ decisive factor for aggregate RTF on TPU since decode is HBM-bandwidth-bound.
 Left-padded batching, per-slot EOS masking and per-row trims follow the
 reference's batch path (modeling_qwen3_tts.py:2239-2291).
 
-Roadmap note: per-slot continuous batching (admitting new requests into live
-decode slots) needs per-row step/offset bookkeeping in the decode state and is
-planned for a later round; the window scheduler below already achieves the
-weight-amortization win.
+A window runs with ONE GenerationParams set (static under jit), so the
+scheduler groups the queue by identical params — no request ever runs under
+another request's settings. For per-request controls inside a single program
+use the continuous-batching engine (qwen_tts_tpu/continuous.py), which makes
+every sampling knob per-row via VecSampling.
 """
 
 from __future__ import annotations
@@ -52,6 +53,7 @@ class ServingEngine:
         self.max_wait_ms = max_wait_ms
         self.max_new_tokens = max_new_tokens
         self._queue: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
+        self._held: List[TTSRequest] = []  # params-incompatible, next window
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._running = False
         self.stats = {"requests": 0, "batches": 0, "frames": 0}
@@ -105,12 +107,22 @@ class ServingEngine:
     # -- worker ------------------------------------------------------------
 
     def _collect_batch(self) -> List[TTSRequest]:
-        first = self._queue.get()
+        first = self._queue.get() if not self._held else self._held.pop(0)
         if first is None:
             return []
         batch = [first]
         deadline = time.perf_counter() + self.max_wait_ms / 1e3
         while len(batch) < self.max_batch:
+            if self._held:
+                req = None
+                for i, h in enumerate(self._held):
+                    if h.params == first.params:
+                        req = self._held.pop(i)
+                        break
+                if req is None:
+                    break  # only incompatible requests held — run what we have
+                batch.append(req)
+                continue
             timeout = deadline - time.perf_counter()
             if timeout <= 0:
                 break
@@ -120,7 +132,13 @@ class ServingEngine:
                 break
             if req is None:
                 break
-            batch.append(req)
+            if req.params == first.params:
+                batch.append(req)
+            else:
+                # Different GenerationParams can't share a window (params are
+                # static under jit); hold it for the next window instead of
+                # silently running it under this window's settings.
+                self._held.append(req)
         return batch
 
     def _run(self):
@@ -129,8 +147,7 @@ class ServingEngine:
             if not batch:
                 continue
             try:
-                # All requests in a window share one GenerationParams set
-                # (static under jit): take the first request's.
+                # _collect_batch guarantees the window shares one params set.
                 params = batch[0].params
                 codes, _info = self.model.generate_codes_from_prompts(
                     [r.prompt for r in batch], params

@@ -129,6 +129,9 @@ def fast_greedy_trace(
         jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(trailing),
         sampling=gp.talker_sampling(), st_sampling=gp.subtalker_sampling(),
         max_new_tokens=max_new_tokens, rng=jax.random.PRNGKey(0),
+        # Token-trace comparison: keep all sampled cb0 tokens (the frame-level
+        # truncation trim is a separate, frame-count concern).
+        trim_last_on_budget=False,
     )
     n = int(np.asarray(out.num_gen)[0])
     stopped = bool(np.asarray(out.stopped)[0])

@@ -145,6 +145,10 @@ def make_checkpoint(
         "codec_think_eos_id": tk.codec_think_eos_id,
         "codec_pad_id": tk.codec_pad_id,
         "codec_bos_id": tk.codec_bos_id,
+        # Not a reference config key (the reference hardcodes a 1024-id ban,
+        # modeling_qwen3_tts.py:2059-2063); round-trips the scaled tiny tail
+        # through TTSConfig.from_pretrained. PretrainedConfig ignores it.
+        "suppress_tail": tk.suppress_tail,
         "spk_id": dict(tk.spk_id),
         "spk_is_dialect": {k: (v if v else False) for k, v in tk.spk_is_dialect},
         "codec_language_id": dict(tk.codec_language_id),
@@ -191,6 +195,10 @@ def make_checkpoint(
     c = {}
     vq_dim = dec.codebook_dim // 2
     c["decoder.quantizer.rvq_first.output_proj.weight"] = _w(rng, dec.codebook_dim, vq_dim)[..., None]
+    # Encode-direction projections (unused by decode but present on disk —
+    # modeling_...v2.py:758-760 Conv1d(input_dim, dim, 1)).
+    c["decoder.quantizer.rvq_first.input_proj.weight"] = _w(rng, vq_dim, dec.codebook_dim)[..., None]
+    c["decoder.quantizer.rvq_rest.input_proj.weight"] = _w(rng, vq_dim, dec.codebook_dim)[..., None]
     c["decoder.quantizer.rvq_first.vq.layers.0._codebook.cluster_usage"] = (
         np.abs(rng.standard_normal(dec.codebook_size)) + 0.5
     ).astype(np.float32)

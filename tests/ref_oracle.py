@@ -1,0 +1,218 @@
+"""Reference-in-the-loop oracle.
+
+Imports the actual reference implementation (/root/reference's ``qwen_tts``
+PyTorch package — the semantic reference per SURVEY.md §1) and runs it on the
+tiny fixture checkpoints that tests/ckpt_fixture.py writes in the reference's
+on-disk format. Parity tests compare this framework's token traces / wave-
+forms against the *real* reference, not against independently written
+oracles, retiring the shared-misreading risk (a misport of the prompt schema
+in modeling_qwen3_tts.py:2124-2233 or the sub-talker schedule in :1276-1312
+would otherwise pass every self-consistency test).
+
+librosa / soundfile / onnxruntime are absent from the image; they are stubbed
+with just enough behavior for the inference code paths under test
+(librosa.filters.mel delegates to this repo's slaney filterbank, which is
+itself torch.stft-verified in tests/test_speaker.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import types
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+
+
+def install_ref_stubs() -> None:
+    try:
+        import librosa  # noqa: F401
+    except ImportError:
+        from qwen_tts_tpu.models.speaker import mel_filterbank
+
+        librosa = types.ModuleType("librosa")
+        filters = types.ModuleType("librosa.filters")
+
+        def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
+            fmax = sr / 2.0 if fmax is None else fmax
+            return mel_filterbank(sr, n_fft, n_mels, fmin, fmax).astype(
+                np.float32
+            )
+
+        filters.mel = mel
+        librosa.filters = filters
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("librosa stub: only filters.mel is available")
+
+        librosa.resample = _unavailable
+        librosa.load = _unavailable
+        sys.modules["librosa"] = librosa
+        sys.modules["librosa.filters"] = filters
+
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        sf = types.ModuleType("soundfile")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("soundfile stub")
+
+        sf.read = _unavailable
+        sf.write = _unavailable
+        sys.modules["soundfile"] = sf
+
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError:
+        ort = types.ModuleType("onnxruntime")
+
+        class InferenceSession:  # pragma: no cover - never constructed
+            def __init__(self, *a, **k):
+                raise RuntimeError("onnxruntime stub")
+
+        ort.InferenceSession = InferenceSession
+        sys.modules["onnxruntime"] = ort
+
+    try:
+        import sox  # noqa: F401
+    except ImportError:
+        sox = types.ModuleType("sox")
+
+        class Transformer:  # pragma: no cover - never constructed
+            def __init__(self, *a, **k):
+                raise RuntimeError("sox stub")
+
+        sox.Transformer = Transformer
+        sys.modules["sox"] = sox
+
+    try:
+        import torchaudio  # noqa: F401
+    except ImportError:
+        ta = types.ModuleType("torchaudio")
+        compliance = types.ModuleType("torchaudio.compliance")
+        kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+
+        def fbank(*a, **k):  # pragma: no cover - 25Hz x-vector path only
+            raise RuntimeError("torchaudio stub")
+
+        kaldi.fbank = fbank
+        compliance.kaldi = kaldi
+        ta.compliance = compliance
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.compliance"] = compliance
+        sys.modules["torchaudio.compliance.kaldi"] = kaldi
+
+
+def import_ref():
+    """Import the reference package; returns its core modeling module."""
+    install_ref_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import qwen_tts.core.models.modeling_qwen3_tts as m
+
+    return m
+
+
+def load_ref_tts(model_dir: str):
+    """Instantiate the reference Qwen3TTSForConditionalGeneration from a
+    fixture checkpoint dir (torch f32 CPU, eager attention).
+
+    Avoids the reference's from_pretrained override (which insists on
+    attaching the speech tokenizer via AutoModel registration); state dict +
+    config are loaded directly, asserting every checkpoint tensor is
+    consumed.
+    """
+    import torch
+    from safetensors.torch import load_file
+
+    m = import_ref()
+    from qwen_tts.core.models.configuration_qwen3_tts import Qwen3TTSConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg_json = json.load(f)
+    cfg = Qwen3TTSConfig(**cfg_json)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    model = m.Qwen3TTSForConditionalGeneration(cfg)
+    state = load_file(os.path.join(model_dir, "model.safetensors"))
+    missing, unexpected = model.load_state_dict(state, strict=False)
+    assert not unexpected, f"checkpoint tensors not consumed: {unexpected[:5]}"
+    # Missing keys may only be the speaker encoder (absent from talker-only
+    # fixtures) or non-persistent-style extras; never talker/code_predictor.
+    bad = [k for k in missing if k.startswith(("talker.",))]
+    assert not bad, f"reference talker weights missing from fixture: {bad[:5]}"
+    return model.float().eval(), cfg
+
+
+def ref_generate(
+    model,
+    input_ids: Sequence[np.ndarray],
+    *,
+    languages: Sequence[str],
+    speakers: Optional[Sequence[Optional[str]]] = None,
+    max_new_tokens: int = 32,
+    do_sample: bool = False,
+    repetition_penalty: float = 1.0,
+    non_streaming_mode: bool = False,
+    ref_ids: Optional[Sequence[np.ndarray]] = None,
+    voice_clone_prompt: Optional[dict] = None,
+) -> List[np.ndarray]:
+    """Greedy reference generate → per-sample [T, G] int64 codes
+    (EOS-trimmed exactly as modeling_qwen3_tts.py:2283-2291 does)."""
+    import torch
+
+    ids = [torch.as_tensor(np.asarray(i), dtype=torch.long).view(1, -1)
+           for i in input_ids]
+    rids = None
+    if ref_ids is not None:
+        rids = [torch.as_tensor(np.asarray(i), dtype=torch.long).view(1, -1)
+                for i in ref_ids]
+    with torch.no_grad():
+        codes_list, _hidden = model.generate(
+            input_ids=ids,
+            ref_ids=rids,
+            voice_clone_prompt=voice_clone_prompt,
+            languages=list(languages),
+            speakers=list(speakers) if speakers is not None else None,
+            non_streaming_mode=non_streaming_mode,
+            max_new_tokens=max_new_tokens,
+            do_sample=do_sample,
+            subtalker_dosample=do_sample,
+            repetition_penalty=repetition_penalty,
+        )
+    return [c.cpu().numpy() for c in codes_list]
+
+
+def load_ref_codec(st_dir: str):
+    """Instantiate the reference Qwen3TTSTokenizerV2Model from a fixture
+    speech_tokenizer dir (torch f32 CPU)."""
+    import torch
+    from safetensors.torch import load_file
+
+    install_ref_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from qwen_tts.core.tokenizer_12hz.configuration_qwen3_tts_tokenizer_v2 import (
+        Qwen3TTSTokenizerV2Config,
+    )
+    from qwen_tts.core.tokenizer_12hz.modeling_qwen3_tts_tokenizer_v2 import (
+        Qwen3TTSTokenizerV2Model,
+    )
+
+    with open(os.path.join(st_dir, "config.json")) as f:
+        cfg_json = json.load(f)
+    cfg = Qwen3TTSTokenizerV2Config(**cfg_json)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    model = Qwen3TTSTokenizerV2Model(cfg)
+    state = load_file(os.path.join(st_dir, "model.safetensors"))
+    missing, unexpected = model.load_state_dict(state, strict=False)
+    assert not unexpected, f"codec tensors not consumed: {unexpected[:5]}"
+    bad = [k for k in missing if k.startswith("decoder.")]
+    assert not bad, f"reference codec weights missing from fixture: {bad[:5]}"
+    return model.float().eval()

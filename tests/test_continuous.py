@@ -32,8 +32,11 @@ def _prompt(model, ids):
 
 
 def _greedy(frames):
+    # Budget-exhausted rows yield max_new - 1 frames (the reference never
+    # expands the final cb0 token, modeling_qwen3_tts.py:2280-2291), so ask
+    # for frames + 1 to get exactly `frames` out.
     return GenerationParams(
-        max_new_tokens=frames, min_new_tokens=frames,
+        max_new_tokens=frames + 1, min_new_tokens=frames + 1,
         do_sample=False, subtalker_do_sample=False, repetition_penalty=1.0,
     )
 
@@ -84,7 +87,7 @@ def test_heterogeneous_sampling_per_slot(model):
     p_sampled = _prompt(model, [1, 2, 3, 30, 31, 32, 4, 5, 1, 2, 3])
     g_params = _greedy(5)
     s_params = GenerationParams(
-        max_new_tokens=5, min_new_tokens=5, do_sample=True,
+        max_new_tokens=6, min_new_tokens=6, do_sample=True,
         temperature=1.3, top_k=8, subtalker_do_sample=False,
     )
     solo, _ = model.generate_codes_from_prompts([p_greedy], g_params)
@@ -127,3 +130,66 @@ def test_continuous_many_requests_reuse_slots(model):
         assert wav.shape[0] == 3 * up
         assert np.isfinite(wav).all()
     assert engine.stats["requests"] == 5
+
+
+def test_heterogeneous_subtalker_sampling_per_slot(model):
+    """Slots with DIFFERENT sub-talker settings decode concurrently; the
+    fully-greedy slot must still match its solo trace (per-row VecSampling
+    threaded into the sub-talker micro-decode scan)."""
+    p_greedy = _prompt(model, [1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3])
+    p_st_sampled = _prompt(model, [1, 2, 3, 40, 41, 42, 4, 5, 1, 2, 3])
+    g_params = _greedy(5)
+    s_params = GenerationParams(
+        max_new_tokens=6, min_new_tokens=6, do_sample=False,
+        repetition_penalty=1.0,
+        subtalker_do_sample=True, subtalker_temperature=1.5, subtalker_top_k=4,
+    )
+    solo, _ = model.generate_codes_from_prompts([p_greedy], g_params)
+    want = model.decode_codes(solo)[0]
+
+    engine = ContinuousBatchingEngine(
+        model, num_slots=2, segment_frames=2, max_new_tokens=8,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        # Sub-talker-sampled request admitted FIRST: under the old engine-wide
+        # pinning this would force sampling onto the greedy slot's groups.
+        fut_s = engine.submit_prompt(p_st_sampled, s_params)
+        fut_g = engine.submit_prompt(p_greedy, g_params)
+        wav_s = fut_s.result(timeout=300)
+        wav_g = fut_g.result(timeout=300)
+    finally:
+        engine.stop()
+    up = model.cfg.codec.decode_upsample_rate
+    assert wav_s.shape[0] == 5 * up
+    np.testing.assert_allclose(wav_g, want, atol=1e-5)
+
+
+def test_streaming_session_bounded_codec_shapes(model):
+    """A full streaming session over continuous slots compiles a bounded set
+    of codec window shapes (fixed-shape policy — no per-chunk-length
+    recompiles in the serving loop)."""
+    shapes = set()
+    orig = model._codec_decode_jit
+
+    def counting(params, cfg, codes):
+        shapes.add(tuple(codes.shape))
+        return orig(params, cfg, codes)
+
+    model._codec_decode_jit = counting
+    engine = ContinuousBatchingEngine(
+        model, num_slots=2, segment_frames=2, max_new_tokens=16,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        chunks = []
+        fut = engine.submit_prompt(
+            _prompt(model, [1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3]), _greedy(9),
+            stream_callback=lambda wav, done: chunks.append(wav),
+        )
+        fut.result(timeout=300)
+    finally:
+        engine.stop()
+        model._codec_decode_jit = orig
+    assert sum(c.shape[0] for c in chunks) == 9 * model.cfg.codec.decode_upsample_rate
+    assert len(shapes) <= 3, f"codec window shapes not bounded: {shapes}"

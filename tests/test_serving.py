@@ -78,3 +78,31 @@ def test_http_server_endpoints(model):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_window_groups_by_params(model):
+    """Requests with different GenerationParams never share a window — each
+    runs under its OWN settings (the scheduler holds incompatible requests
+    for the next window instead of silently overriding them)."""
+    engine = ServingEngine(model, max_batch=4, max_wait_ms=150,
+                           max_new_tokens=8).start()
+    try:
+        ids = np.array([1, 2, 3, 10, 11, 4, 5, 1, 2, 3], np.int32)
+        fut_short = engine.submit_ids(
+            ids, speaker="aiden", language="english",
+            do_sample=False, max_new_tokens=4, repetition_penalty=1.0,
+        )
+        fut_long = engine.submit_ids(
+            ids, speaker="aiden", language="english",
+            do_sample=False, max_new_tokens=7, repetition_penalty=1.0,
+        )
+        wav_short = fut_short.result(timeout=300)
+        wav_long = fut_long.result(timeout=300)
+    finally:
+        engine.stop()
+    up = model.cfg.codec.decode_upsample_rate
+    # Neither request runs under the other's budget: each is bounded by its
+    # OWN max_new_tokens (budget-exhausted rows yield budget-1 frames).
+    assert 0 < wav_short.shape[0] <= 3 * up
+    assert 0 < wav_long.shape[0] <= 6 * up
+    assert engine.stats["batches"] == 2  # incompatible → separate windows
