@@ -77,7 +77,9 @@ class SpeechTokenizerEncoder:
     ) -> List[np.ndarray]:
         """Each waveform → [T_i, Q] int32 codes (per-sample, unpadded)."""
         if sample_rate != self.input_sample_rate:
-            wavs = [resample_linear(w, sample_rate, self.input_sample_rate)
+            from qwen_tts_tpu.audio import resample
+
+            wavs = [resample(w, sample_rate, self.input_sample_rate)
                     for w in wavs]
         lengths = [w.shape[0] for w in wavs]
         max_len = max(lengths)

@@ -96,14 +96,14 @@ def build_demo(model):
                     sr_in, wav = ref
                     import numpy as np
 
-                    from qwen_tts_tpu.codec_encoder import resample_linear
+                    from qwen_tts_tpu.audio import resample
 
                     wav = np.asarray(wav, np.float32)
                     if wav.ndim > 1:
                         wav = wav.mean(axis=-1)
                     if np.abs(wav).max() > 1.5:  # int PCM from gradio
                         wav = wav / 32768.0
-                    wav = resample_linear(wav, sr_in, 24000)
+                    wav = resample(wav, sr_in, 24000)
                     prompt = model.create_voice_clone_prompt(
                         wav, ref_text=ref_text,
                         x_vector_only_mode=bool(xvec_only),

@@ -33,8 +33,9 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int = 24000) -> None:
         raise
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file to mono float32 in [-1, 1]. Returns (samples, rate)."""
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Read a WAV file (path or binary file-like) to mono float32 in [-1, 1].
+    Returns (samples, rate)."""
     with wave.open(path, "rb") as w:
         rate = w.getframerate()
         n = w.getnframes()

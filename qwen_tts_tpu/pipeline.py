@@ -314,8 +314,12 @@ class Qwen3TTSModel:
         speaker: MaybeList,
         language: MaybeList = "auto",
         instruct: Optional[MaybeList] = None,
+        non_streaming_mode: bool = False,
         **kwargs,
     ) -> Tuple[List[np.ndarray], int]:
+        """``non_streaming_mode`` feeds the whole text before codec_bos
+        instead of trailing it in during decode
+        (modeling_qwen3_tts.py:2030,2203-2227)."""
         texts = _as_list(text)
         speakers = _broadcast(_as_list(speaker), len(texts))
         languages = _broadcast(_as_list(language), len(texts))
@@ -323,13 +327,15 @@ class Qwen3TTSModel:
         if self.cfg.tts_model_size == "0.6b":
             instructs = None  # 0.6B drops instructions (qwen3_tts_model.py:799-800)
         self._validate(speakers, languages)
-        return self._generate(texts, speakers, languages, instructs, **kwargs)
+        return self._generate(texts, speakers, languages, instructs,
+                              non_streaming=non_streaming_mode, **kwargs)
 
     def generate_voice_design(
         self,
         text: MaybeList,
         instruct: MaybeList,
         language: MaybeList = "auto",
+        non_streaming_mode: bool = False,
         **kwargs,
     ) -> Tuple[List[np.ndarray], int]:
         texts = _as_list(text)
@@ -337,13 +343,15 @@ class Qwen3TTSModel:
         languages = _broadcast(_as_list(language), len(texts))
         speakers = [None] * len(texts)
         self._validate(speakers, languages)
-        return self._generate(texts, speakers, languages, instructs, **kwargs)
+        return self._generate(texts, speakers, languages, instructs,
+                              non_streaming=non_streaming_mode, **kwargs)
 
     def generate_voice_clone(
         self,
         text: MaybeList,
         voice_clone_prompt: Dict[str, Any],
         language: MaybeList = "auto",
+        non_streaming_mode: bool = False,
         **kwargs,
     ) -> Tuple[List[np.ndarray], int]:
         """``voice_clone_prompt`` follows the reference dict layout
@@ -375,6 +383,7 @@ class Qwen3TTSModel:
             speaker_embeds=speaker_embeds,
             ref_ids=ref_ids if any_icl else None,
             ref_codes=ref_codes if any_icl else None,
+            non_streaming=non_streaming_mode,
             **kwargs,
         )
 
@@ -522,15 +531,28 @@ class Qwen3TTSModel:
         ref_audio,
         ref_text: Optional[MaybeList] = None,
         *,
-        sample_rate: int = 24000,
+        sample_rate: Optional[int] = None,
         x_vector_only_mode: bool = False,
         icl_mode: bool = True,
     ) -> Dict[str, Any]:
         """Build a voice-clone prompt dict (reference layout,
         qwen3_tts_model.py:355-458): encode reference audio to codec codes via
-        the 12 Hz encoder (ICL mode) and extract the ECAPA-TDNN x-vector."""
-        audios = ref_audio if isinstance(ref_audio, list) else [ref_audio]
-        audios = [np.asarray(a, np.float32) for a in audios]
+        the 12 Hz encoder (ICL mode) and extract the ECAPA-TDNN x-vector.
+
+        ``ref_audio`` accepts the reference's input forms
+        (qwen3_tts_model.py:188-264): WAV path / http(s) URL / base64 string,
+        an ``(np.ndarray, sr)`` tuple, a bare ndarray (requires
+        ``sample_rate``), or a list of those. Non-24k audio is resampled with
+        the polyphase windowed-sinc resampler (qwen_tts_tpu/audio.py)."""
+        from qwen_tts_tpu.audio import normalize_audio_inputs, resample
+
+        raw = ref_audio if isinstance(ref_audio, list) else [ref_audio]
+        if sample_rate is not None:
+            raw = [(np.asarray(a, np.float32), sample_rate)
+                   if isinstance(a, np.ndarray) else a for a in raw]
+        pairs = normalize_audio_inputs(raw)
+        audios = [resample(w, sr, 24000) for w, sr in pairs]
+        sample_rate = 24000
         n = len(audios)
         ref_texts = _broadcast(_as_list(ref_text), n) if ref_text else [None] * n
 

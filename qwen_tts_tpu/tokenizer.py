@@ -82,7 +82,7 @@ class Qwen3TTSTokenizer:
         # 25Hz: Whisper-VQ codes + BigVGAN-style ref mels run natively; the
         # CAM++ x-vector needs its ONNX asset + onnxruntime (absent in this
         # image) — callers supply precomputed xvectors for decode.
-        from qwen_tts_tpu.codec_encoder import resample_linear
+        from qwen_tts_tpu.audio import resample
         from qwen_tts_tpu.models import whisper_vq as wvq
 
         if self._encoder is None:
@@ -103,7 +103,7 @@ class Qwen3TTSTokenizer:
             st.close()
             self._encoder = (enc_cfg, enc_params)
         enc_cfg, enc_params = self._encoder
-        wavs16 = [resample_linear(np.asarray(w, np.float32), sample_rate,
+        wavs16 = [resample(np.asarray(w, np.float32), sample_rate,
                                   wvq.SAMPLE_RATE) for w in wavs]
         codes = wvq.encode_waveforms(enc_params, enc_cfg, wavs16)
         ref_mels = [wvq.v1_ref_mel(w) for w in wavs16]

@@ -30,7 +30,8 @@ def main() -> int:
 
     import numpy as np
 
-    from qwen_tts_tpu.codec_encoder import SpeechTokenizerEncoder, resample_linear
+    from qwen_tts_tpu.audio import resample
+    from qwen_tts_tpu.codec_encoder import SpeechTokenizerEncoder
     from qwen_tts_tpu.io.wav import read_wav
     from qwen_tts_tpu.pipeline import Qwen3TTSModel
 
@@ -48,7 +49,7 @@ def main() -> int:
         wavs = []
         for row in chunk:
             wav, sr = read_wav(row["audio"])
-            wavs.append(resample_linear(wav, sr, encoder.input_sample_rate))
+            wavs.append(resample(wav, sr, encoder.input_sample_rate))
         codes = encoder.encode(wavs, encoder.input_sample_rate)
         for row, c in zip(chunk, codes):
             row = dict(row)
@@ -60,7 +61,7 @@ def main() -> int:
                     )
                 if model.speaker_params is not None:
                     rwav, rsr = read_wav(row["ref_audio"])
-                    rwav = resample_linear(rwav, rsr, 24000)
+                    rwav = resample(rwav, rsr, 24000)
                     row["speaker_embedding"] = model.extract_speaker_embedding(
                         rwav, 24000
                     ).tolist()

@@ -77,3 +77,35 @@ def test_snake_beta():
     got = snake_beta(jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta))
     want = x + np.sin(x * alpha) ** 2 / (beta + 1e-9)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_snake_beta_bf16_fast_path_matches_exact():
+    """The bf16 snake uses a polynomial sin^2 (range-reduced mod pi); its
+    deviation from the exact transcendental must sit below bf16 resolution
+    across activation-scale inputs, and stay finite for absurd magnitudes."""
+    import jax.numpy as jnp
+
+    from qwen_tts_tpu.ops.snake import snake_beta
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-60.0, 60.0, (4, 257, 96)).astype(np.float32)
+    alpha = np.exp(rng.uniform(-1, 1, 96)).astype(np.float32)
+    beta = np.exp(rng.uniform(-1, 1, 96)).astype(np.float32)
+
+    exact = np.asarray(snake_beta(jnp.asarray(x), jnp.asarray(alpha),
+                                  jnp.asarray(beta)))
+    fast = np.asarray(snake_beta(jnp.asarray(x, jnp.bfloat16),
+                                 jnp.asarray(alpha), jnp.asarray(beta)),
+                      np.float32)
+    # bf16 inputs quantize x itself (~0.4% relative); compare against the
+    # exact op applied to the SAME quantized inputs.
+    xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    exact_q = np.asarray(snake_beta(jnp.asarray(xq), jnp.asarray(alpha),
+                                    jnp.asarray(beta)))
+    scale = np.maximum(np.abs(exact_q), 1.0)
+    assert np.max(np.abs(fast - exact_q) / scale) < 2e-2  # bf16 out rounding
+    del exact
+
+    huge = snake_beta(jnp.full((8,), 1e30, jnp.bfloat16),
+                      jnp.asarray(alpha[:1]), jnp.asarray(beta[:1]))
+    assert np.isfinite(np.asarray(huge, np.float32)).all()
