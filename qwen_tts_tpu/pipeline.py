@@ -41,6 +41,34 @@ _HARD_DEFAULTS = dict(
 )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "dec_cfg", "sampling", "st_sampling",
+                     "max_cache_len", "first_segment"),
+)
+def _first_packet_program(
+    talker_params, st_params, codec_params, talker_cfg, dec_cfg,
+    embeds, mask, trailing, *, sampling, st_sampling, max_cache_len, rng,
+    first_segment, step_limit,
+):
+    """Prefill + first decode segment + codec decode of that segment as ONE
+    device program. Over the axon tunnel every dispatch costs ~20-25 ms, so
+    first-packet latency is dominated by round trips, not compute — this
+    collapses request→audio to a single dispatch (the Metal backend's
+    command-buffer batching taken to its limit,
+    metal/qwen_tts_talker.c:996-1026)."""
+    state, seg = init_decode(
+        talker_params, st_params, talker_cfg, embeds, mask,
+        sampling=sampling, st_sampling=st_sampling,
+        max_cache_len=max_cache_len, rng=rng,
+        first_segment=first_segment, trailing=trailing,
+        step_limit=step_limit,
+    )
+    window = jnp.maximum(seg[:, :first_segment, : dec_cfg.num_quantizers], 0)
+    wav = codec_mod.codec_decode(codec_params, dec_cfg, window)
+    return state, seg, wav
+
+
 class Qwen3TTSModel:
     """TPU-native Qwen3-TTS inference pipeline."""
 
@@ -447,26 +475,40 @@ class Qwen3TTSModel:
         s = embeds.shape[1]
         trailing_j = jnp.asarray(trailing, dtype)
         step_limit = jnp.int32(params.max_new_tokens)
-        # Fused prefill + first segment: one device dispatch to first codes.
-        state, seg_codes = init_decode(
-            self.talker_params, self.subtalker_params, self.cfg.talker,
-            jnp.asarray(embeds, dtype), jnp.asarray(mask),
+        first_segment = min(first_chunk_frames, params.max_new_tokens)
+        # ONE dispatch from request to first audio: prefill + first segment +
+        # codec decode fused (each dispatch over the tunnel costs ~20-25 ms).
+        state, seg_codes, first_wav = _first_packet_program(
+            self.talker_params, self.subtalker_params, self.codec_params,
+            self.cfg.talker, dec_cfg,
+            jnp.asarray(embeds, dtype), jnp.asarray(mask), trailing_j,
             sampling=params.talker_sampling(),
             st_sampling=params.subtalker_sampling(),
             max_cache_len=s + params.max_new_tokens,
             rng=jax.random.PRNGKey(params.seed),
-            first_segment=min(first_chunk_frames, params.max_new_tokens),
-            trailing=trailing_j, step_limit=step_limit,
+            first_segment=first_segment,
+            step_limit=step_limit,
         )
 
         history = np.zeros((0, nq), np.int32)
         emitted = 0
         prev_gen = 0
+        first = True
         while True:
-            new_gen = int(np.asarray(state.num_gen)[0])
+            if first:
+                # One transfer for everything the host needs.
+                num_gen_h, seg_h, wav_h = jax.device_get(
+                    (state.num_gen, seg_codes, first_wav)
+                )
+            else:
+                num_gen_h, seg_h = jax.device_get((state.num_gen, seg_codes))
+            new_gen = int(num_gen_h[0])
             fresh = new_gen - prev_gen
-            stopped = bool(np.asarray(state.eos).all())
             hit_budget = new_gen >= params.max_new_tokens
+            # The EOS flag is only needed at stream end — fetching it every
+            # chunk would add a blocking device round trip per chunk.
+            stopped = (bool(np.asarray(state.eos).all())
+                       if (hit_budget or fresh <= 0) else False)
             done = fresh <= 0 or stopped or hit_budget
             emit = fresh
             if done and hit_budget and not stopped:
@@ -477,28 +519,30 @@ class Qwen3TTSModel:
                 emit -= 1
             if emit > 0:
                 history = np.concatenate(
-                    [history, np.asarray(seg_codes)[0, :fresh, :nq]], axis=0
+                    [history, seg_h[0, :fresh, :nq]], axis=0
                 )
-                ctx = min(left_context_frames, emitted)
-                # Fixed-shape codec windows (right-padded): the decoder is
-                # fully causal, so trailing pad frames never affect the
-                # emitted region — two compiled codec programs total (tight
-                # first-packet window + steady window).
-                if emitted == 0:
-                    window_len = first_chunk_frames
+                if first:
+                    # Audio came fused with the decode program.
+                    wav = wav_h[0, : emit * up]
                 else:
+                    ctx = min(left_context_frames, emitted)
+                    # Fixed-shape codec windows (right-padded): the decoder
+                    # is fully causal, so trailing pad frames never affect
+                    # the emitted region — two compiled codec programs total.
                     window_len = left_context_frames + chunk_frames
-                window = np.zeros((1, window_len, nq), np.int32)
-                window[0, : ctx + emit] = history[emitted - ctx : emitted + emit]
-                wav = np.asarray(
-                    self._codec_decode_jit(self.codec_params, dec_cfg,
-                                           jnp.asarray(window))
-                )[0, ctx * up : (ctx + emit) * up]
+                    window = np.zeros((1, window_len, nq), np.int32)
+                    window[0, : ctx + emit] = history[emitted - ctx : emitted + emit]
+                    wav = np.asarray(
+                        self._codec_decode_jit(self.codec_params, dec_cfg,
+                                               jnp.asarray(window))
+                    )[0, ctx * up : (ctx + emit) * up]
                 emitted += emit
                 prev_gen = new_gen
+                first = False
                 yield wav, self.sample_rate
             if done:
                 break
+            first = False
             state, seg_codes = decode_segment(
                 self.talker_params, self.subtalker_params, self.cfg.talker,
                 state, trailing_j,

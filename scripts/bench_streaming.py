@@ -103,8 +103,14 @@ def main() -> int:
         "steady_chunk_s": round(float(np.median(cadences)), 4) if cadences else None,
         "steady_chunk_audio_s": args.chunk_frames * 0.08,
         "platform": jax.devices()[0].platform,
+        "reference_claim_ms": 97,  # /root/reference/README.md:78
     }
     print(json.dumps(report, indent=2))
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_streaming.json")
+    if report["platform"] != "cpu":
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
     return 0
 
 
