@@ -3,13 +3,22 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast validate-eos benchmark benchmark-gate \
+.PHONY: all native sanitize test test-fast validate-eos benchmark benchmark-gate \
         bench-streaming clean
 
 all: native
 
 native:
 	$(MAKE) -C csrc
+
+# ASan+UBSan build of the native runtime + the native test suite under it
+# (reference Makefile:151-159 hygiene).
+sanitize:
+	$(MAKE) -C csrc sanitize
+	QTTS_NATIVE_LIB=$(CURDIR)/csrc/libqtts_runtime_asan.so \
+	LD_PRELOAD=$$(g++ -print-file-name=libasan.so) \
+	ASAN_OPTIONS=detect_leaks=0 \
+	python -m pytest tests/test_native_runtime.py -q
 
 test:
 	$(PY) -m pytest tests/ -x -q

@@ -18,7 +18,11 @@ import numpy as np
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "csrc")
-_LIB_PATH = os.path.join(_CSRC, "libqtts_runtime.so")
+# QTTS_NATIVE_LIB overrides the library path (e.g. the ASan/UBSan build from
+# `make -C csrc sanitize`).
+_LIB_PATH = os.environ.get(
+    "QTTS_NATIVE_LIB", os.path.join(_CSRC, "libqtts_runtime.so")
+)
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False

@@ -30,6 +30,7 @@ class Qwen3TTSTokenizer:
         self.params = params
         self.model_dir = model_dir
         self._encoder = None
+        self._xvector = None  # lazily: CampplusXVector | False (no asset)
 
     # ------------------------------------------------------------------
 
@@ -80,8 +81,9 @@ class Qwen3TTSTokenizer:
             return {"audio_codes": self._encoder.encode(wavs, sample_rate)}
 
         # 25Hz: Whisper-VQ codes + BigVGAN-style ref mels run natively; the
-        # CAM++ x-vector needs its ONNX asset + onnxruntime (absent in this
-        # image) — callers supply precomputed xvectors for decode.
+        # CAM++ x-vector runs through the in-repo ONNX executor when the
+        # checkpoint ships campplus.onnx (modeling_...v1.py:1426-1446) —
+        # otherwise callers supply precomputed xvectors for decode.
         from qwen_tts_tpu.audio import resample
         from qwen_tts_tpu.models import whisper_vq as wvq
 
@@ -107,7 +109,17 @@ class Qwen3TTSTokenizer:
                                   wvq.SAMPLE_RATE) for w in wavs]
         codes = wvq.encode_waveforms(enc_params, enc_cfg, wavs16)
         ref_mels = [wvq.v1_ref_mel(w) for w in wavs16]
-        return {"audio_codes": codes, "ref_mels": ref_mels, "xvectors": None}
+        xvectors = None
+        if self._xvector is None:
+            from qwen_tts_tpu.models.campplus import CampplusXVector
+
+            self._xvector = (
+                CampplusXVector.maybe_from_dir(self.model_dir) or False
+            )
+        if self._xvector:
+            xvectors = [self._xvector.extract(w) for w in wavs16]
+        return {"audio_codes": codes, "ref_mels": ref_mels,
+                "xvectors": xvectors}
 
     def decode(self, encoded, *, seed: int = 0) -> Tuple[List[np.ndarray], int]:
         """Reference-compatible payloads: encode() output, a dict, or a list

@@ -69,3 +69,24 @@ def test_v2_tokenizer_from_disk(tmp_path):
     wavs, sr = tok.decode({"audio_codes": [codes]})
     assert sr == 24000
     assert wavs[0].shape[0] == 4 * cfg.codec.decode_upsample_rate
+
+
+def test_v1_encode_with_campplus_asset(tmp_path):
+    """When campplus.onnx ships with the checkpoint, encode returns
+    L2-normalized x-vectors through the native ONNX executor
+    (modeling_...v1.py:1426-1446)."""
+    from test_onnx_native import _make_tdnn_onnx
+    from test_whisper_vq import TINY as TINY_ENC
+
+    d = str(tmp_path / "v1x")
+    make_v1_checkpoint(d, TINY_V1, enc_cfg=TINY_ENC)
+    rng = np.random.default_rng(2)
+    blob, _, _ = _make_tdnn_onnx(rng)
+    with open(f"{d}/campplus.onnx", "wb") as f:
+        f.write(blob)
+    tok = Qwen3TTSTokenizer.from_pretrained(d)
+    wav = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    out = tok.encode([wav], 16000)
+    xv = out["xvectors"][0]
+    assert xv.shape == (8,)
+    assert abs(np.linalg.norm(xv) - 1.0) < 1e-5
