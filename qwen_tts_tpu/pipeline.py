@@ -575,7 +575,7 @@ class Qwen3TTSModel:
         ref_audio,
         ref_text: Optional[MaybeList] = None,
         *,
-        sample_rate: Optional[int] = None,
+        sample_rate: int = 24000,
         x_vector_only_mode: bool = False,
         icl_mode: bool = True,
     ) -> Dict[str, Any]:
