@@ -123,7 +123,7 @@ def subtalker_generate(
     into each dot (rolled loops let XLA hoist + materialize bf16 copies:
     10.9→6.1 ms/frame int8Lu4 vs 9.2 rolled); bf16 weights run fastest with
     the rolled fori/scan (unrolling regressed to 19.1 ms/frame)."""
-    is_int8 = "wq_i8" in params["trunk"]
+    is_int8 = any(k.endswith("_i8") for k in params["trunk"])
     if unroll is None:
         unroll = 4 if is_int8 else 1
     if unroll_layers is None:

@@ -31,3 +31,24 @@ def test_quantized_trunk_close_to_fp():
     err = np.abs(np.asarray(out_fp) - np.asarray(out_q))
     scale = np.abs(np.asarray(out_fp)).mean()
     assert err.mean() < 0.05 * scale + 0.05
+
+
+def test_fused_int8_matches_separate_int8():
+    """quantize(fuse(params)) must produce the same math as quantize(params):
+    per-output-channel scales are identical after concatenation, so outputs
+    agree to float tolerance (tested option; measured slower on v5e — see
+    CLAUDE.md — but must stay correct)."""
+    from qwen_tts_tpu.models.trunk import fuse_trunk_params
+
+    params = init_trunk_params(jax.random.PRNGKey(0), DIMS)
+    q_sep = quantize_trunk_int8(params)
+    q_fused = quantize_trunk_int8(fuse_trunk_params(params))
+    assert "wqkv_i8" in q_fused and "wgu_i8" in q_fused
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32)) * 0.5
+    positions = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
+    cos, sin = rope_cos_sin(positions, 8, 10000.0)
+    out_sep, _, _ = trunk_prefill(q_sep, DIMS, x, cos, sin)
+    out_fused, _, _ = trunk_prefill(q_fused, DIMS, x, cos, sin)
+    np.testing.assert_allclose(np.asarray(out_sep), np.asarray(out_fused),
+                               atol=1e-5, rtol=1e-5)
