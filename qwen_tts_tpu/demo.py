@@ -127,6 +127,12 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--share", action="store_true")
+    # SSL / serving flags (reference cli/demo.py surface).
+    p.add_argument("--ssl-certfile", default=None)
+    p.add_argument("--ssl-keyfile", default=None)
+    p.add_argument("--no-ssl-verify", action="store_true")
+    p.add_argument("--concurrency", type=int, default=1,
+                   help="max concurrent generation requests")
     args = p.parse_args(argv)
 
     try:
@@ -147,7 +153,12 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     model = Qwen3TTSModel.from_pretrained(args.model_dir)
     demo = build_demo(model)
-    demo.launch(server_name=args.host, server_port=args.port, share=args.share)
+    demo.queue(default_concurrency_limit=args.concurrency)
+    demo.launch(
+        server_name=args.host, server_port=args.port, share=args.share,
+        ssl_certfile=args.ssl_certfile, ssl_keyfile=args.ssl_keyfile,
+        ssl_verify=not args.no_ssl_verify,
+    )
     return 0
 
 
