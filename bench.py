@@ -63,6 +63,7 @@ def main() -> None:
     )
     st_params_i8 = dict(st_params)
     st_params_i8["trunk"] = quantize_trunk_int8(st_params["trunk"])
+    st_params_i8 = st_mod.quantize_subtalker_tables_int8(st_params_i8)
     codec_params = codec_mod.init_codec_params(
         jax.random.fold_in(rng, 2), codec_cfg, jnp.bfloat16
     )

@@ -86,6 +86,61 @@ def _project_input(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def quantize_subtalker_tables_int8(params: dict) -> dict:
+    """Opt-in int8 for the stacked embedding tables and LM heads — the
+    per-step table slice/gather is ~250 MB/frame of bf16 HBM traffic at
+    flagship dims (a [V,D] head slice is read whole every micro-step).
+    Per-channel symmetric scales along the non-indexed axis; serving-mode
+    numerics (not the parity default), same contract as
+    trunk.quantize_trunk_int8."""
+    out = dict(params)
+    for k in ("embeds", "lm_heads"):
+        if k not in params:  # already quantized — idempotent
+            continue
+        w = jnp.asarray(params[k], jnp.float32)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0, 1e-8
+        )
+        out[k + "_i8"] = jnp.round(w / scale).astype(jnp.int8)
+        out[k + "_s"] = scale.astype(jnp.bfloat16)
+        del out[k]
+    return out
+
+
+def _embed_table(params: dict, table_idx, prev_code, dtype):
+    """Per-step group-embedding row: stacked-table dynamic index + gather
+    (int8-aware)."""
+    if "embeds_i8" in params:
+        tab = jax.lax.dynamic_index_in_dim(
+            params["embeds_i8"], table_idx, axis=0, keepdims=False
+        )
+        s = jax.lax.dynamic_index_in_dim(
+            params["embeds_s"], table_idx, axis=0, keepdims=False
+        )  # [1, D]
+        return tab[prev_code].astype(dtype) * s.astype(dtype)
+    tab = jax.lax.dynamic_index_in_dim(
+        params["embeds"], table_idx, axis=0, keepdims=False
+    )
+    return tab[prev_code]
+
+
+def _lm_head_logits(params: dict, hidden, head_idx):
+    if "lm_heads_i8" in params:
+        head = jax.lax.dynamic_index_in_dim(
+            params["lm_heads_i8"], head_idx, axis=0, keepdims=False
+        )
+        s = jax.lax.dynamic_index_in_dim(
+            params["lm_heads_s"], head_idx, axis=0, keepdims=False
+        )  # [1, V]
+        return (hidden @ head.astype(hidden.dtype)).astype(jnp.float32) * (
+            s.astype(jnp.float32)
+        )
+    head = jax.lax.dynamic_index_in_dim(
+        params["lm_heads"], head_idx, axis=0, keepdims=False
+    )
+    return (hidden @ head).astype(jnp.float32)
+
+
 def alloc_subtalker_cache(
     cfg: CodePredictorConfig, batch: int, dtype=jnp.float32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -145,9 +200,7 @@ def subtalker_generate(
         # Input selection by position (see module docstring schedule).
         emb_prev = talker_codec_embedding[prev_code]           # pos == 1 case
         table_idx = jnp.maximum(pos - 2, 0)
-        emb_group = jax.lax.dynamic_index_in_dim(
-            params["embeds"], table_idx, axis=0, keepdims=False
-        )[prev_code]                                            # pos >= 2 case
+        emb_group = _embed_table(params, table_idx, prev_code, dtype)  # pos >= 2
         x = jnp.where(
             pos == 0,
             prev_hidden.astype(dtype),
@@ -164,10 +217,7 @@ def subtalker_generate(
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
 
         head_idx = jnp.maximum(pos - 1, 0)
-        head = jax.lax.dynamic_index_in_dim(
-            params["lm_heads"], head_idx, axis=0, keepdims=False
-        )
-        logits = (hidden @ head).astype(jnp.float32)
+        logits = _lm_head_logits(params, hidden, head_idx)
         if vec_sampling is not None:
             # Per-row controls (continuous batching: each slot keeps its own
             # subtalker_do_sample/temperature/top_k/top_p; the reference's
@@ -207,5 +257,9 @@ def embed_groups_sum(
     first = talker_codec_embedding[codes[:, 0]]                   # [B, D]
     # embeds: [G-1, V, D]; gather per group via take_along-style indexing.
     group_ids = jnp.arange(g - 1)                                  # [G-1]
-    rest = params["embeds"][group_ids[:, None], codes[:, 1:].T]    # [G-1, B, D]
+    if "embeds_i8" in params:
+        rest = params["embeds_i8"][group_ids[:, None], codes[:, 1:].T]
+        rest = rest.astype(first.dtype) * params["embeds_s"].astype(first.dtype)
+    else:
+        rest = params["embeds"][group_ids[:, None], codes[:, 1:].T]  # [G-1, B, D]
     return first + jnp.sum(rest, axis=0)

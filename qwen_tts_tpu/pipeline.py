@@ -147,11 +147,17 @@ class Qwen3TTSModel:
         b32 on v5e). Changes numerics (int8 rounding), so greedy token traces
         are no longer bit-identical to the bf16 path — a serving-throughput
         mode, not the parity default. In-place; returns self."""
+        from qwen_tts_tpu.models.subtalker import (
+            quantize_subtalker_tables_int8,
+        )
         from qwen_tts_tpu.models.trunk import quantize_trunk_int8
 
         self.subtalker_params = dict(self.subtalker_params)
         self.subtalker_params["trunk"] = quantize_trunk_int8(
             self.subtalker_params["trunk"]
+        )
+        self.subtalker_params = quantize_subtalker_tables_int8(
+            self.subtalker_params
         )
         if talker:
             self.talker_params = dict(self.talker_params)

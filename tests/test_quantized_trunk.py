@@ -52,3 +52,36 @@ def test_fused_int8_matches_separate_int8():
     out_fused, _, _ = trunk_prefill(q_fused, DIMS, x, cos, sin)
     np.testing.assert_allclose(np.asarray(out_sep), np.asarray(out_fused),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_subtalker_int8_tables_greedy_stable():
+    """int8 embedding tables + LM heads: greedy micro-decode stays stable on
+    well-separated logits, and the group-embedding sum drifts only at int8
+    rounding scale."""
+    import jax
+
+    from qwen_tts_tpu.config import tiny_tts_config
+    from qwen_tts_tpu.models import subtalker as st
+    from qwen_tts_tpu.ops.sampling import SamplingConfig
+
+    cfg = tiny_tts_config().talker
+    p = st.init_subtalker_params(jax.random.PRNGKey(1), cfg.code_predictor,
+                                 cfg.hidden_size)
+    emb = jax.random.normal(jax.random.PRNGKey(2),
+                            (cfg.vocab_size, cfg.hidden_size))
+    hidden = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.hidden_size)) * 0.3
+    first = jnp.asarray([3, 7], jnp.int32)
+    g = SamplingConfig(do_sample=False)
+    f0 = st.subtalker_generate(p, cfg.code_predictor, emb, hidden, first, g, None)
+    pq = st.quantize_subtalker_tables_int8(p)
+    assert "embeds" not in pq and pq["embeds_i8"].dtype == jnp.int8
+    # idempotent: re-quantizing an already-quantized pytree is a no-op
+    pq2 = st.quantize_subtalker_tables_int8(pq)
+    assert pq2.keys() == pq.keys()
+    f1 = st.subtalker_generate(pq, cfg.code_predictor, emb, hidden, first, g, None)
+    # random tiny logits are well-separated; int8 rounding must not flip them
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    s0 = st.embed_groups_sum(p, emb, f0)
+    s1 = st.embed_groups_sum(pq, emb, f0)
+    drift = float(jnp.max(jnp.abs(s0 - s1)))
+    assert drift < 0.05, drift
