@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Head-to-head benchmark vs the ACTUAL reference implementation — the
+framework analog of the reference's own cross-engine gate
+(scripts/benchmark_py_vs_c.py:462-471: C/Python normalized-ms/token median
+ratio ≤ 2.0, equal token budget, greedy).
+
+Runs the same tiny fixture checkpoint through BOTH stacks on CPU f32
+(hardware-neutral apples-to-apples): this framework's jitted decode loop vs
+the reference torch package (loaded via tests/ref_oracle.py). Reports
+normalized ms/token and the speed ratio, and — with --gate — fails if this
+framework is slower than the reference by more than --gate-ratio.
+
+Usage:  python scripts/benchmark_vs_reference.py [--tokens 24] [--runs 3]
+        [--gate --gate-ratio 1.0] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--tokens", type=int, default=24)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--gate", action="store_true")
+    p.add_argument("--gate-ratio", type=float, default=1.0,
+                   help="fail if ours/reference ms-per-token exceeds this")
+    p.add_argument("--json", help="write the report here")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    import ref_oracle
+    from ckpt_fixture import make_checkpoint
+    from test_ref_parity import parity_cfg
+
+    import tempfile
+
+    model_dir = tempfile.mkdtemp(prefix="qtts_refbench_")
+    make_checkpoint(model_dir, parity_cfg())
+
+    ids = np.array([1, 2, 3] + list(range(10, 18)) + [4, 5, 1, 2, 3],
+                   np.int32)
+
+    # --- this framework --------------------------------------------------
+    from qwen_tts_tpu.generate import (
+        GenerationParams, batch_prompts, build_prompt, generate_codes,
+    )
+    from qwen_tts_tpu.io.loader import load_checkpoint
+
+    cfg, talker, subtalker, _codec, _spk = load_checkpoint(
+        model_dir, talker_dtype=jnp.float32, codec_dtype=jnp.float32
+    )
+    prompt = build_prompt(talker, cfg, ids, language="english",
+                          speaker="aiden")
+    embeds, mask, trailing, _ = batch_prompts([prompt])
+    gp = GenerationParams(
+        max_new_tokens=args.tokens, min_new_tokens=args.tokens,
+        do_sample=False, subtalker_do_sample=False, repetition_penalty=1.0,
+    )
+
+    def ours():
+        out = generate_codes(
+            talker, subtalker, cfg.talker,
+            jnp.asarray(embeds, jnp.float32), jnp.asarray(mask),
+            jnp.asarray(trailing, jnp.float32),
+            sampling=gp.talker_sampling(),
+            st_sampling=gp.subtalker_sampling(),
+            max_new_tokens=args.tokens, rng=jax.random.PRNGKey(0),
+            trim_last_on_budget=False,
+        )
+        return np.asarray(out.codes)
+
+    ours()  # compile
+    t_ours = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        codes_ours = ours()
+        t_ours.append(time.perf_counter() - t0)
+
+    # --- the reference ----------------------------------------------------
+    ref_model, _ = ref_oracle.load_ref_tts(model_dir)
+    ref_oracle.ref_generate(  # warmup
+        ref_model, [ids], languages=["english"], speakers=["aiden"],
+        max_new_tokens=args.tokens, repetition_penalty=1.0,
+    )
+    t_ref = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        codes_ref = ref_oracle.ref_generate(
+            ref_model, [ids], languages=["english"], speakers=["aiden"],
+            max_new_tokens=args.tokens, repetition_penalty=1.0,
+        )
+        t_ref.append(time.perf_counter() - t0)
+
+    # Token-exact sanity on the overlap (reference drops the final frame on
+    # budget exhaustion).
+    n = codes_ref[0].shape[0]
+    assert np.array_equal(codes_ours[0, :n], codes_ref[0]), \
+        "benchmark runs diverged — parity broken"
+
+    med_ours = sorted(t_ours)[len(t_ours) // 2]
+    med_ref = sorted(t_ref)[len(t_ref) // 2]
+    report = {
+        "tokens": args.tokens,
+        "ours_ms_per_token": round(med_ours / args.tokens * 1e3, 3),
+        "reference_ms_per_token": round(med_ref / args.tokens * 1e3, 3),
+        "ratio_ours_over_reference": round(med_ours / med_ref, 4),
+        "platform": "cpu-f32 (hardware-neutral)",
+        "token_exact": True,
+        "note": ("tiny fixture dims: measures framework overhead (one jitted "
+                 "program vs the reference's per-step HF nested generate), "
+                 "not model FLOPs; see bench_b32.json for flagship-dims TPU "
+                 "throughput"),
+    }
+    print(json.dumps(report, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+    if args.gate and report["ratio_ours_over_reference"] > args.gate_ratio:
+        print(f"GATE FAIL: ratio {report['ratio_ours_over_reference']} > "
+              f"{args.gate_ratio}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ itself torch.stft-verified in tests/test_speaker.py).
 
 from __future__ import annotations
 
+import importlib.machinery
 import json
 import os
 import sys
@@ -28,14 +29,22 @@ import numpy as np
 REF_ROOT = "/root/reference"
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    # transformers probes deps via importlib.util.find_spec, which raises on
+    # modules with __spec__ = None — give stubs a real-looking spec.
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def install_ref_stubs() -> None:
     try:
         import librosa  # noqa: F401
     except ImportError:
         from qwen_tts_tpu.models.speaker import mel_filterbank
 
-        librosa = types.ModuleType("librosa")
-        filters = types.ModuleType("librosa.filters")
+        librosa = _stub_module("librosa")
+        filters = _stub_module("librosa.filters")
 
         def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
             fmax = sr / 2.0 if fmax is None else fmax
@@ -57,7 +66,7 @@ def install_ref_stubs() -> None:
     try:
         import soundfile  # noqa: F401
     except ImportError:
-        sf = types.ModuleType("soundfile")
+        sf = _stub_module("soundfile")
 
         def _unavailable(*a, **k):
             raise RuntimeError("soundfile stub")
@@ -69,7 +78,7 @@ def install_ref_stubs() -> None:
     try:
         import onnxruntime  # noqa: F401
     except ImportError:
-        ort = types.ModuleType("onnxruntime")
+        ort = _stub_module("onnxruntime")
 
         class InferenceSession:  # pragma: no cover - never constructed
             def __init__(self, *a, **k):
@@ -81,7 +90,7 @@ def install_ref_stubs() -> None:
     try:
         import sox  # noqa: F401
     except ImportError:
-        sox = types.ModuleType("sox")
+        sox = _stub_module("sox")
 
         class Transformer:  # pragma: no cover - never constructed
             def __init__(self, *a, **k):
@@ -93,9 +102,9 @@ def install_ref_stubs() -> None:
     try:
         import torchaudio  # noqa: F401
     except ImportError:
-        ta = types.ModuleType("torchaudio")
-        compliance = types.ModuleType("torchaudio.compliance")
-        kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+        ta = _stub_module("torchaudio")
+        compliance = _stub_module("torchaudio.compliance")
+        kaldi = _stub_module("torchaudio.compliance.kaldi")
 
         def fbank(*a, **k):  # pragma: no cover - 25Hz x-vector path only
             raise RuntimeError("torchaudio stub")

@@ -189,3 +189,27 @@ def test_top_k_top_p_restrict_support():
         for i in range(32)
     ]
     assert all(t == 7 for t in toks)
+
+
+def test_vec_sampler_support_matches_static_when_both_knobs_set():
+    """With top_k AND top_p set, the vectorized sampler must restrict support
+    exactly like the static path (HF warper chain: top-p's softmax runs over
+    the top-k-filtered logits). Regression for the one-shot vs
+    continuous-batching sampling mismatch."""
+    import jax
+
+    from qwen_tts_tpu.ops.sampling import SamplingConfig, sample_token
+    from qwen_tts_tpu.ops.sampling_vec import VecSampling, sample_token_vec
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32) * 3)
+    cfg = SamplingConfig(do_sample=True, temperature=0.7, top_k=8, top_p=0.6)
+    vec = VecSampling.broadcast(cfg, 4)
+
+    # Same key → both paths draw through jax.random.categorical over their
+    # warped logits; identical support + identical warps ⇒ identical tokens.
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        a = np.asarray(sample_token(logits, cfg, key))
+        b = np.asarray(sample_token_vec(logits, vec, key))
+        np.testing.assert_array_equal(a, b)

@@ -118,3 +118,28 @@ def test_concurrent_streams_share_slots(served, model):
     assert np.abs(results["b"].astype(np.int32) - want_b.astype(np.int32)).max() <= 16
     # Both streams ran through the continuous engine's slot pool.
     assert engine.stats["requests"] >= 2
+
+
+def test_tts_endpoint_over_continuous_engine(served, model):
+    """POST /tts (non-streaming WAV) served from continuous-batching slots —
+    the window-engine path is covered in test_serving.py; this pins the
+    continuous engine's submit_ids surface behind the same handler."""
+    import urllib.request
+
+    port, engine = served
+    body = json.dumps({
+        "ids": [1, 2, 3, 30, 31, 32, 4, 5, 1, 2, 3],
+        "speaker": "serena", "language": "auto",
+        "max_new_tokens": 5, "do_sample": False,
+        "subtalker_dosample": False, "repetition_penalty": 1.0,
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/tts", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        wav_bytes = r.read()
+    assert wav_bytes[:4] == b"RIFF"
+    # 4 frames (budget 5 - truncation trim) x 48 upsample x 2 bytes + header
+    assert len(wav_bytes) == 44 + 4 * 48 * 2
