@@ -89,10 +89,10 @@ def main() -> None:
 
     decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
 
-    def make_run(sp):
+    def make_run(sp, run_cfg=cfg):
         def run(seed: int):
             out = generate_codes(
-                talker_params, sp, cfg, embeds, mask, trailing,
+                talker_params, sp, run_cfg, embeds, mask, trailing,
                 sampling=sampling, st_sampling=st_sampling,
                 max_new_tokens=FRAMES, rng=jax.random.PRNGKey(seed),
                 trim_last_on_budget=False,
@@ -107,10 +107,30 @@ def main() -> None:
             return jax.block_until_ready(wav)
         return run
 
+    # 12Hz-flagship variant: real 12Hz checkpoints run 16 code groups
+    # (== codec quantizers), halving the sub-talker micro-decode; the
+    # 32-group configs above are the conservative architecture default.
+    import dataclasses
+
+    cfg16 = dataclasses.replace(
+        cfg, num_code_groups=16,
+        code_predictor=dataclasses.replace(cfg.code_predictor,
+                                           num_code_groups=16),
+    )
+    st16 = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 5), cfg16.code_predictor, cfg16.hidden_size,
+        dtype,
+    )
+    st16 = dict(st16)
+    st16["trunk"] = quantize_trunk_int8(st16["trunk"])
+    st16 = st_mod.quantize_subtalker_tables_int8(st16)
+
     audio_sec = BATCH * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
     report = {}
-    for name, sp in (("bf16", st_params), ("int8", st_params_i8)):
-        run = make_run(sp)
+    for name, sp, c in (("bf16", st_params, cfg), ("int8", st_params_i8, cfg),
+                        ("int8_16groups", st16, cfg16)):
+        cfg_run = c
+        run = make_run(sp, cfg_run)
         run(0)  # warmup / compile
         t0 = time.perf_counter()
         for i in range(MEASURE_RUNS):
