@@ -89,10 +89,10 @@ def main() -> None:
 
     decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
 
-    def make_run(sp, run_cfg=cfg):
+    def make_run(sp, run_cfg=cfg, tp=talker_params):
         def run(seed: int):
             out = generate_codes(
-                talker_params, sp, run_cfg, embeds, mask, trailing,
+                tp, sp, run_cfg, embeds, mask, trailing,
                 sampling=sampling, st_sampling=st_sampling,
                 max_new_tokens=FRAMES, rng=jax.random.PRNGKey(seed),
                 trim_last_on_budget=False,
@@ -124,13 +124,20 @@ def main() -> None:
     st16 = dict(st16)
     st16["trunk"] = quantize_trunk_int8(st16["trunk"])
     st16 = st_mod.quantize_subtalker_tables_int8(st16)
+    # Full serving mode also quantizes the talker trunk
+    # (quantize_for_serving(talker=True)) — the 28-layer weight stream is
+    # re-read every frame too.
+    talker_i8 = dict(talker_params)
+    talker_i8["trunk"] = quantize_trunk_int8(talker_params["trunk"])
 
     audio_sec = BATCH * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
     report = {}
-    for name, sp, c in (("bf16", st_params, cfg), ("int8", st_params_i8, cfg),
-                        ("int8_16groups", st16, cfg16)):
-        cfg_run = c
-        run = make_run(sp, cfg_run)
+    for name, sp, c, tp in (
+        ("bf16", st_params, cfg, talker_params),
+        ("int8", st_params_i8, cfg, talker_params),
+        ("int8_16groups", st16, cfg16, talker_i8),
+    ):
+        run = make_run(sp, c, tp)
         run(0)  # warmup / compile
         t0 = time.perf_counter()
         for i in range(MEASURE_RUNS):
