@@ -159,7 +159,10 @@ def main() -> None:
             "baseline_rtf": BASELINE_RTF,
         }, f, indent=2)
 
-    best = report["int8"]["rtf"]
+    # Headline = the flagship serving config: real 12Hz checkpoints run 16
+    # code groups (== codec quantizers), and serving mode quantizes both
+    # trunks (quantize_for_serving(talker=True)).
+    best = report["int8_16groups"]["rtf"]
     print(json.dumps({
         "metric": "rtf",
         "value": best,
