@@ -21,6 +21,9 @@ def main() -> int:
     p.add_argument("--total-frames", type=int, default=100)
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--serving", action="store_true",
+                   help="flagship serving mode: 16 code groups (real 12Hz "
+                        "checkpoints) + int8 trunks (quantize_for_serving)")
     args = p.parse_args()
 
     if args.cpu:
@@ -45,6 +48,14 @@ def main() -> int:
     from qwen_tts_tpu.pipeline import Qwen3TTSModel
 
     talker_cfg = TalkerConfig()
+    if args.serving:
+        import dataclasses
+
+        talker_cfg = dataclasses.replace(
+            talker_cfg, num_code_groups=16,
+            code_predictor=dataclasses.replace(
+                talker_cfg.code_predictor, num_code_groups=16),
+        )
     cfg = TTSConfig(talker=talker_cfg, codec=CodecConfig())
     dtype = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
@@ -59,6 +70,8 @@ def main() -> int:
             jax.random.fold_in(rng, 2), cfg.codec.decoder, jnp.bfloat16
         ),
     )
+    if args.serving:
+        model.quantize_for_serving(talker=True)
 
     d = talker_cfg.hidden_size
     np_rng = np.random.default_rng(0)
@@ -97,6 +110,7 @@ def main() -> int:
 
     med = sorted(firsts)[len(firsts) // 2]
     report = {
+        "mode": "serving_int8_16groups" if args.serving else "bf16_parity",
         "first_packet_ms_p50": round(med * 1e3, 1),
         "first_packet_ms_min": round(min(firsts) * 1e3, 1),
         "first_packet_audio_ms": args.first_frames * 80,
@@ -109,8 +123,22 @@ def main() -> int:
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_streaming.json")
     if report["platform"] != "cpu":
+        # Keep both modes in one versioned artifact: flat keys stay the
+        # bf16-parity numbers (back-compat), serving lands under "serving".
+        merged = {}
+        if os.path.exists(out):
+            with open(out, encoding="utf-8") as f:
+                merged = json.load(f)
+            merged.pop("serving", None) if args.serving else None
+        if args.serving:
+            merged["serving"] = report
+        else:
+            serving = merged.get("serving")
+            merged = dict(report)
+            if serving:
+                merged["serving"] = serving
         with open(out, "w") as f:
-            json.dump(report, f, indent=2)
+            json.dump(merged, f, indent=2)
     return 0
 
 
