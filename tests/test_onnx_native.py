@@ -232,3 +232,54 @@ def test_campplus_gated_entry(tmp_path):
     vec = xv.extract(wav)
     assert vec.shape == (8,)
     assert abs(np.linalg.norm(vec) - 1.0) < 1e-5
+
+
+def test_kaldi_fbank_vs_direct_dft_oracle():
+    """Independent slow oracle for the fbank (torchaudio is absent in this
+    image — CLAUDE.md gap): per-frame Python loop, explicit DFT matrix, and
+    mel filters built from bin EDGES on the mel axis (a different
+    construction than the implementation's min(up, down) form). Catches
+    off-by-ones in framing, preemphasis edge handling, window exponent, and
+    filter placement that property tests can't see."""
+    rng = np.random.default_rng(42)
+    wav = (rng.standard_normal(16000 // 4) * 0.3).astype(np.float32)
+
+    sr, flen, fshift, nfft, bins = 16000, 400, 160, 512, 80
+    mel = lambda f: 1127.0 * np.log(1.0 + f / 700.0)  # noqa: E731
+    # DFT basis, built independently of np.fft
+    k = np.arange(nfft // 2)
+    t_ = np.arange(nfft)
+    cosm = np.cos(2 * np.pi * np.outer(k, t_) / nfft)
+    sinm = np.sin(2 * np.pi * np.outer(k, t_) / nfft)
+    # mel triangles from edge arrays
+    edges = np.linspace(mel(20.0), mel(8000.0), bins + 2)
+    bin_mels = mel(np.arange(nfft // 2) * sr / nfft)
+    filt = np.zeros((bins, nfft // 2))
+    for j in range(bins):
+        lo, ce, hi = edges[j], edges[j + 1], edges[j + 2]
+        for i, m in enumerate(bin_mels):
+            if lo < m < ce:
+                filt[j, i] = (m - lo) / (ce - lo)
+            elif ce <= m < hi:
+                filt[j, i] = (hi - m) / (hi - ce)
+
+    n_frames = 1 + (len(wav) - flen) // fshift
+    win = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(flen) / (flen - 1))) ** 0.85
+    want = np.zeros((n_frames, bins))
+    for f in range(n_frames):
+        fr = wav[f * fshift : f * fshift + flen].astype(np.float64).copy()
+        fr -= fr.mean()
+        pre = np.empty_like(fr)
+        pre[0] = fr[0] - 0.97 * fr[0]
+        for i in range(1, flen):
+            pre[i] = fr[i] - 0.97 * fr[i - 1]
+        fr = pre * win
+        frp = np.zeros(nfft)
+        frp[:flen] = fr
+        power = (cosm @ frp) ** 2 + (sinm @ frp) ** 2
+        want[f] = np.log(np.maximum(filt @ power, 1.1920928955078125e-07))
+
+    got = kaldi_fbank(wav)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-4,
+                               atol=2e-4)

@@ -70,3 +70,40 @@ def test_tp2_sharded_greedy_decode_matches_unsharded():
 
     np.testing.assert_array_equal(num_ref, num_tp)
     np.testing.assert_array_equal(codes_ref, codes_tp)
+
+
+def test_dp2_tp2_sharded_greedy_decode_matches_unsharded():
+    """Full serving-mesh shape — batch over dp, weights over tp (dp=2 x tp=2
+    on the virtual 8-device CPU mesh) — must stay token-exact. This is the
+    §2.5 DP row exercised as real multi-device data parallelism, not just
+    a batched single-device run."""
+    rng = jax.random.PRNGKey(7)
+    talker_params = talker_mod.init_talker_params(rng, CFG.talker)
+    st_params = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 1), CFG.talker.code_predictor,
+        CFG.talker.hidden_size,
+    )
+    base = np.array([1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3], np.int32)
+    prompts = [
+        build_prompt(talker_params, CFG, base + i, language="english",
+                     speaker="aiden")
+        for i in range(4)
+    ]
+    embeds, mask, trailing, _ = batch_prompts(prompts)
+    embeds, mask, trailing = map(jnp.asarray, (embeds, mask, trailing))
+
+    codes_ref, num_ref = _gen(talker_params, st_params, embeds, mask, trailing)
+
+    mesh = make_mesh(4, tp=2)
+    assert dict(mesh.shape) == {"dp": 2, "tp": 2}
+    with mesh:
+        sh_talker, sh_st = shard_params(mesh, talker_params, st_params)
+        e = jax.device_put(embeds, batch_sharding(mesh, 3))
+        m = jax.device_put(mask, batch_sharding(mesh, 2))
+        t = jax.device_put(trailing, batch_sharding(mesh, 3))
+        # rows land on distinct dp shards
+        assert len(e.sharding.device_set) == 4
+        codes_dp, num_dp = _gen(sh_talker, sh_st, e, m, t)
+
+    np.testing.assert_array_equal(num_ref, num_dp)
+    np.testing.assert_array_equal(codes_ref, codes_dp)
