@@ -21,6 +21,7 @@ from __future__ import annotations
 import base64
 import io
 import math
+import os
 import urllib.request
 from typing import List, Sequence, Tuple, Union
 
@@ -104,10 +105,19 @@ def _is_url(s: str) -> bool:
 
 def _is_probably_base64(s: str) -> bool:
     # data-URI, or a long path-separator-free blob (reference heuristic,
-    # qwen3_tts_model.py:188-193).
+    # qwen3_tts_model.py:188-193). Beyond the reference: a long blob that
+    # CONTAINS '/' (legal in the standard base64 alphabet, which the
+    # reference misroutes to the filesystem) is accepted as base64 when it
+    # matches the alphabet and no such file exists.
     if s.startswith("data:audio"):
         return True
-    return ("/" not in s and "\\" not in s) and len(s) > 256
+    if ("/" not in s and "\\" not in s) and len(s) > 256:
+        return True
+    if len(s) > 256 and not os.path.exists(s):
+        import re
+
+        return re.fullmatch(r"[A-Za-z0-9+/\s]+={0,2}\s*", s) is not None
+    return False
 
 
 def load_audio(src: str) -> Tuple[np.ndarray, int]:

@@ -72,7 +72,45 @@ class Qwen3TTSTokenizer:
 
     # ------------------------------------------------------------------
 
-    def encode(self, wavs: Sequence[np.ndarray], sample_rate: int):
+    def load_audio(self, x: str, target_sr: int) -> np.ndarray:
+        """Load audio from a wav path / URL / base64 string and resample to
+        ``target_sr`` (reference qwen3_tts_tokenizer.py:122-158; librosa is
+        replaced by the windowed-sinc polyphase resampler in audio.py)."""
+        from qwen_tts_tpu.audio import load_audio, resample
+
+        wav, sr = load_audio(x)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=-1)
+        return resample(wav.astype(np.float32), sr, target_sr)
+
+    def _normalize_inputs(self, audios, sample_rate: Optional[int]
+                          ) -> Tuple[List[np.ndarray], int]:
+        """Accept str (path/URL/base64), np.ndarray (+ ``sample_rate``),
+        (np.ndarray, sr) tuples, or lists thereof → list of waveforms all at
+        one common rate (reference _normalize_audio_inputs semantics; numpy
+        input without a rate is rejected)."""
+        from qwen_tts_tpu.audio import normalize_audio_inputs, resample
+
+        if isinstance(audios, np.ndarray):
+            if sample_rate is None:
+                raise ValueError(
+                    "For numpy waveform input, provide sample_rate.")
+            audios = [(audios, int(sample_rate))]
+        elif (isinstance(audios, (list, tuple)) and audios
+              and isinstance(audios[0], np.ndarray)
+              and not (len(audios) == 2
+                       and isinstance(audios[1], (int, np.integer)))):
+            if sample_rate is None:
+                raise ValueError(
+                    "For numpy waveform input, provide sample_rate.")
+            audios = [(a, int(sample_rate)) for a in audios]
+        items = normalize_audio_inputs(audios)
+        target = int(self.get_input_sample_rate())
+        return [resample(w, sr, target) if sr != target else w
+                for w, sr in items], target
+
+    def encode(self, wavs, sample_rate: Optional[int] = None):
+        wavs, sample_rate = self._normalize_inputs(wavs, sample_rate)
         if self.model_type == "qwen3_tts_tokenizer_12hz":
             from qwen_tts_tpu.codec_encoder import SpeechTokenizerEncoder
 

@@ -90,3 +90,45 @@ def test_v1_encode_with_campplus_asset(tmp_path):
     xv = out["xvectors"][0]
     assert xv.shape == (8,)
     assert abs(np.linalg.norm(xv) - 1.0) < 1e-5
+
+
+def test_v1_encode_accepts_paths_and_base64(tmp_path):
+    """Reference input parity (qwen3_tts_tokenizer.py:122-207): encode takes
+    wav paths / base64 strings / (ndarray, sr) and resamples to the model
+    input rate; load_audio is public."""
+    import base64
+
+    from qwen_tts_tpu.io.wav import write_wav
+    from test_whisper_vq import TINY as TINY_ENC
+
+    d = str(tmp_path / "v1p")
+    make_v1_checkpoint(d, TINY_V1, enc_cfg=TINY_ENC)
+    tok = Qwen3TTSTokenizer.from_pretrained(d)
+
+    wav = (0.2 * np.sin(np.linspace(0, 100, 16000))).astype(np.float32)
+    ref = tok.encode([wav], 16000)["audio_codes"][0]
+
+    p = str(tmp_path / "ref.wav")
+    write_wav(p, wav, 16000)
+    rt = tok.load_audio(p, target_sr=16000)  # int16 roundtrip quantization
+    want = tok.encode([rt], 16000)["audio_codes"][0]
+
+    got_path = tok.encode(p)["audio_codes"][0]
+    np.testing.assert_array_equal(got_path, want)
+
+    b64 = base64.b64encode(open(p, "rb").read()).decode()
+    got_b64 = tok.encode(b64)["audio_codes"][0]
+    np.testing.assert_array_equal(got_b64, want)
+
+    # quantization must not perturb the tiny fixture's codes
+    np.testing.assert_array_equal(ref, want)
+
+    # 48k path input resamples down to the 16k model rate
+    wav48 = np.repeat(wav, 3)
+    p48 = str(tmp_path / "ref48.wav")
+    write_wav(p48, wav48, 48000)
+    got_48 = tok.encode(p48)["audio_codes"][0]
+    assert got_48.shape == want.shape
+
+    with pytest.raises(ValueError):
+        tok.encode(wav)  # bare ndarray without sample_rate
