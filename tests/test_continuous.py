@@ -193,3 +193,39 @@ def test_streaming_session_bounded_codec_shapes(model):
         model._codec_decode_jit = orig
     assert sum(c.shape[0] for c in chunks) == 9 * model.cfg.codec.decode_upsample_rate
     assert len(shapes) <= 3, f"codec window shapes not bounded: {shapes}"
+
+
+def test_continuous_engine_with_tp_sharded_weights(model):
+    """The serving engine itself (threaded worker, jitted slot programs)
+    must run unchanged with TP-sharded weights — NamedShardings propagate
+    from the param args without a mesh context in the worker thread — and
+    stay token-exact vs the unsharded engine path."""
+    import copy
+
+    import jax
+    from qwen_tts_tpu.parallel.mesh import make_mesh, shard_params
+
+    ids = [1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3]
+    p = _prompt(model, ids)
+    params = _greedy(6)
+    codes, _ = model.generate_codes_from_prompts([p], params)
+    want = model.decode_codes([codes[0]])[0]
+
+    mesh = make_mesh(2, tp=2)
+    sh_talker, sh_st = shard_params(
+        mesh, model.talker_params, model.subtalker_params)
+    assert len(jax.tree_util.tree_leaves(sh_talker)[0].sharding.device_set) >= 1
+    m2 = copy.copy(model)
+    m2.talker_params, m2.subtalker_params = sh_talker, sh_st
+
+    engine = ContinuousBatchingEngine(
+        m2, num_slots=2, segment_frames=2, max_new_tokens=16,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        fut = engine.submit_prompt(p, params)
+        wav = fut.result(timeout=300)
+    finally:
+        engine.stop()
+
+    np.testing.assert_allclose(wav, want, atol=1e-5)
