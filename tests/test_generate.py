@@ -153,3 +153,43 @@ def test_generate_batch_matches_single():
         np.testing.assert_array_equal(
             np.asarray(solo.codes)[0, :n], np.asarray(both.codes)[i, :n]
         )
+
+
+def test_dialect_speaker_overrides_language_id():
+    """A speaker marked as a dialect forces its dialect's codec language id
+    regardless of the requested language (modeling_qwen3_tts.py:2118-2122)."""
+    import dataclasses
+
+    tk = dataclasses.replace(
+        CFG.talker,
+        spk_is_dialect=(("aiden", ""), ("serena", "shanghai_dialect")),
+        codec_language_id=(("chinese", 200), ("english", 201),
+                           ("shanghai_dialect", 202)),
+    )
+    cfg = dataclasses.replace(CFG, talker=tk)
+    params, _ = _params()
+    ids = _text_ids()
+
+    def lang_slot(prompt):
+        # language-known prefix: role(3) + [think, think_bos, LANG, think_eos,
+        # speaker, pad] + first-text+bos → lang embed at position 5.
+        tts_pad = np.asarray(talker_mod.embed_text(
+            params, jnp.asarray([cfg.tts_pad_token_id])))[0]
+        return prompt.embeds[5] - tts_pad
+
+    # plain speaker honors the requested language
+    p_zh = build_prompt(params, cfg, ids, language="chinese", speaker="aiden")
+    want_zh = np.asarray(talker_mod.embed_codec(params, jnp.asarray([200])))[0]
+    np.testing.assert_allclose(lang_slot(p_zh), want_zh, atol=1e-5)
+
+    # dialect speaker overrides chinese -> shanghai_dialect id
+    p_dia = build_prompt(params, cfg, ids, language="chinese", speaker="serena")
+    want_dia = np.asarray(talker_mod.embed_codec(params, jnp.asarray([202])))[0]
+    np.testing.assert_allclose(lang_slot(p_dia), want_dia, atol=1e-5)
+    assert p_dia.embeds.shape == p_zh.embeds.shape
+
+    # ...but NOT english (the reference gates the override on chinese/auto,
+    # modeling_qwen3_tts.py:2118-2122)
+    p_en = build_prompt(params, cfg, ids, language="english", speaker="serena")
+    want_en = np.asarray(talker_mod.embed_codec(params, jnp.asarray([201])))[0]
+    np.testing.assert_allclose(lang_slot(p_en), want_en, atol=1e-5)
