@@ -54,11 +54,13 @@ bench-streaming:
 	$(PY) scripts/bench_streaming.py
 
 # Regenerate every versioned perf artifact (real TPU): bench_b32.json,
-# bench_streaming.json (bf16 + serving modes), bench_vs_reference.json.
+# bench_streaming.json (bf16 + serving modes), bench_codec_v1.json,
+# bench_vs_reference.json.
 bench-all:
 	$(PY) bench.py
 	$(PY) scripts/bench_streaming.py
 	$(PY) scripts/bench_streaming.py --serving
+	$(PY) scripts/bench_codec_v1.py
 	$(PY) scripts/benchmark_vs_reference.py --json bench_vs_reference.json || true
 
 clean:
