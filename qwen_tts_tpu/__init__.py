@@ -19,6 +19,8 @@ __all__ = [
     "GenerationParams",
     "ServingEngine",
     "ContinuousBatchingEngine",
+    "save_voice_clone_prompt",
+    "load_voice_clone_prompt",
 ]
 
 
@@ -43,4 +45,8 @@ def __getattr__(name):
         from qwen_tts_tpu.continuous import ContinuousBatchingEngine
 
         return ContinuousBatchingEngine
+    if name in ("save_voice_clone_prompt", "load_voice_clone_prompt"):
+        from qwen_tts_tpu import voice_prompt
+
+        return getattr(voice_prompt, name)
     raise AttributeError(f"module 'qwen_tts_tpu' has no attribute {name!r}")

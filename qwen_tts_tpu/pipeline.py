@@ -622,6 +622,23 @@ class Qwen3TTSModel:
             "x_vector_only_mode": [not use_icl] * n,
         }
 
+    @staticmethod
+    def save_voice_clone_prompt(prompt: Dict[str, Any], path: str) -> str:
+        """Persist a voice-clone prompt as a reusable voice file
+        (reference demo's Save Voice flow, cli/demo.py:501-524; ``.pt``
+        torch payload for interop, or ``.npz`` for torch-free use)."""
+        from qwen_tts_tpu.voice_prompt import save_voice_clone_prompt
+
+        return save_voice_clone_prompt(prompt, path)
+
+    @staticmethod
+    def load_voice_clone_prompt(path: str) -> Dict[str, Any]:
+        """Load a voice file written by :meth:`save_voice_clone_prompt` or
+        by the reference demo (cli/demo.py:526-583)."""
+        from qwen_tts_tpu.voice_prompt import load_voice_clone_prompt
+
+        return load_voice_clone_prompt(path)
+
     def _validate(self, speakers, languages):
         sup_l = set(self.get_supported_languages())
         for lang in languages:
