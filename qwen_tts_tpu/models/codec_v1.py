@@ -163,12 +163,21 @@ def dit_sample(
     num_steps: int = 10,
     guidance_scale: float = 0.5,
     sway_coefficient: Optional[float] = -1.0,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Euler ODE sampling with CFG (:1171-1226). Returns mel [B, T, mel_dim]."""
+    """Euler ODE sampling with CFG (:1171-1226). Returns mel [B, T, mel_dim].
+
+    ``noise`` overrides the initial ODE state (the reference draws
+    torch.randn([B, 30000, mel]) and slices, modeling_...v1.py:1181-1183) —
+    used by the reference-in-the-loop parity tests to share one noise tensor
+    across both stacks; otherwise it is drawn from ``rng``."""
     b, t_code = codes.shape
     t_mel = t_code * cfg.repeats
 
-    noise = jax.random.normal(rng, (b, t_mel, cfg.mel_dim), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(rng, (b, t_mel, cfg.mel_dim), jnp.float32)
+    else:
+        noise = jnp.asarray(noise, jnp.float32)[:, :t_mel]
 
     # The ECAPA summary runs on the reference mel for the conditional half and
     # on a ZERO mel for the CFG-uncond half (the reference zeroes the mel
@@ -411,12 +420,13 @@ def codec_v1_decode(
     num_steps: int = 10,
     guidance_scale: float = 0.5,
     sway_coefficient: float = -1.0,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     codes = jnp.maximum(codes, 0)
     mel = dit_sample(
         params["dit"], cfg.dit, codes, ref_mels, xvectors, rng,
         num_steps=num_steps, guidance_scale=guidance_scale,
-        sway_coefficient=sway_coefficient,
+        sway_coefficient=sway_coefficient, noise=noise,
     )
     return bigvgan_forward(params["bigvgan"], cfg.bigvgan, mel)
 

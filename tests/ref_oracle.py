@@ -225,3 +225,78 @@ def load_ref_codec(st_dir: str):
     bad = [k for k in missing if k.startswith("decoder.")]
     assert not bad, f"reference codec weights missing from fixture: {bad[:5]}"
     return model.float().eval()
+
+
+def load_ref_codec_v1(st_dir: str):
+    """Instantiate the reference 25Hz decoder (Qwen3TTSTokenizerV1Decoder:
+    DiT flow-matching + BigVGAN, modeling_...v1.py:1230-1281) from a fixture
+    dir written by tests/ckpt_fixture_v1.py (torch f32 CPU, sdpa attention —
+    the only implementation the decoder supports, :1237-1247)."""
+    import torch
+    from safetensors.torch import load_file
+
+    install_ref_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from qwen_tts.core.tokenizer_25hz.configuration_qwen3_tts_tokenizer_v1 import (
+        Qwen3TTSTokenizerV1DecoderConfig,
+    )
+    from qwen_tts.core.tokenizer_25hz.modeling_qwen3_tts_tokenizer_v1 import (
+        Qwen3TTSTokenizerV1Decoder,
+    )
+
+    with open(os.path.join(st_dir, "config.json")) as f:
+        cfg_json = json.load(f)
+    cfg = Qwen3TTSTokenizerV1DecoderConfig(**cfg_json["decoder_config"])
+    torch.manual_seed(0)
+    model = Qwen3TTSTokenizerV1Decoder(cfg)
+    state = load_file(os.path.join(st_dir, "model.safetensors"))
+    state = {k[len("decoder."):]: torch.as_tensor(v)
+             for k, v in state.items() if k.startswith("decoder.")}
+    missing, unexpected = model.load_state_dict(state, strict=False)
+    assert not unexpected, f"v1 tensors not consumed: {unexpected[:5]}"
+    bad = [k for k in missing
+           if k.startswith(("dit.", "bigvgan.")) and "rotary" not in k]
+    assert not bad, f"reference v1 weights missing from fixture: {bad[:5]}"
+    return model.float().eval()
+
+
+def load_ref_encoder_v1(st_dir: str):
+    """Instantiate the reference 25Hz Whisper-VQ encoder
+    (Qwen3TTSTokenizerV1Encoder, modeling_...v1.py:1282-1340) from a fixture
+    dir written by tests/ckpt_fixture_v1.py (torch f32 CPU). Only the
+    tensors the code-extraction path reads are required; the post-VQ heads
+    (ln_post/proj/upsample/project_out, EMA buffers) are training-era and
+    stay at init."""
+    import torch
+    from safetensors.torch import load_file
+
+    install_ref_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from qwen_tts.core.tokenizer_25hz.configuration_qwen3_tts_tokenizer_v1 import (
+        Qwen3TTSTokenizerV1EncoderConfig,
+    )
+    from qwen_tts.core.tokenizer_25hz.modeling_qwen3_tts_tokenizer_v1 import (
+        Qwen3TTSTokenizerV1Encoder,
+    )
+
+    with open(os.path.join(st_dir, "config.json")) as f:
+        cfg_json = json.load(f)
+    torch.manual_seed(0)
+    model = Qwen3TTSTokenizerV1Encoder(
+        Qwen3TTSTokenizerV1EncoderConfig(**cfg_json["encoder_config"])
+    )
+    state = load_file(os.path.join(st_dir, "model.safetensors"))
+    state = {k[len("encoder."):]: torch.as_tensor(v)
+             for k, v in state.items() if k.startswith("encoder.")}
+    missing, unexpected = model.load_state_dict(state, strict=False)
+    assert not unexpected, f"v1 encoder tensors not consumed: {unexpected[:5]}"
+    pre_vq = ("tokenizer.conv", "tokenizer.positional", "tokenizer.blocks",
+              "tokenizer.audio_vq_downsample",
+              "tokenizer.audio_quantizer.rvqs.0.layers.0.project_in")
+    bad = [k for k in missing
+           if k.startswith(pre_vq)
+           or k == "tokenizer.audio_quantizer.rvqs.0.embed"]
+    assert not bad, f"reference encoder weights missing from fixture: {bad[:5]}"
+    return model.float().eval()
