@@ -34,6 +34,9 @@ def main() -> int:
     p.add_argument("--gate-ratio", type=float, default=1.2,
                    help="fail if wall time exceeds baseline × ratio")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a JAX/XLA profiler trace of the measured "
+                        "runs into DIR (TensorBoard/XProf format)")
     args = p.parse_args()
 
     if args.cpu:
@@ -102,15 +105,18 @@ def main() -> int:
         codes = run_talker(i)
         run_codec(codes)
 
+    from qwen_tts_tpu.utils import profile_trace
+
     talker_times, codec_times = [], []
-    for i in range(args.runs):
-        t0 = time.perf_counter()
-        codes = run_talker(100 + i)
-        t1 = time.perf_counter()
-        run_codec(codes)
-        t2 = time.perf_counter()
-        talker_times.append(t1 - t0)
-        codec_times.append(t2 - t1)
+    with profile_trace(args.profile):
+        for i in range(args.runs):
+            t0 = time.perf_counter()
+            codes = run_talker(100 + i)
+            t1 = time.perf_counter()
+            run_codec(codes)
+            t2 = time.perf_counter()
+            talker_times.append(t1 - t0)
+            codec_times.append(t2 - t1)
 
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     talker_s, codec_s = med(talker_times), med(codec_times)
