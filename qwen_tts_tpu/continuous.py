@@ -87,6 +87,12 @@ class _SlotRequest:
     # batching (each slot streams independently).
     stream_callback: Optional[object] = None
     emitted_frames: int = 0
+    # Voice clone (ICL): reference codec codes seed the slot's code history
+    # as already-emitted context — they condition the codec decode (left
+    # context) but their audio is never emitted, the continuous analog of
+    # the reference's ref-code prepend + wav cut (qwen3_tts_model.py:612-631).
+    ref_codes: Optional[np.ndarray] = None
+    ref_frames: int = 0
 
 
 class ContinuousBatchingEngine:
@@ -164,7 +170,8 @@ class ContinuousBatchingEngine:
     # -- API ---------------------------------------------------------------
 
     def submit_prompt(self, prompt: Prompt, params: GenerationParams,
-                      stream_callback=None) -> "Future[np.ndarray]":
+                      stream_callback=None,
+                      ref_codes=None) -> "Future[np.ndarray]":
         if prompt.embeds.shape[0] > self.prefill_bucket:
             raise ValueError(
                 f"prompt length {prompt.embeds.shape[0]} exceeds the engine's "
@@ -173,6 +180,16 @@ class ContinuousBatchingEngine:
         if prompt.trailing_text.shape[0] + 1 > self.trailing_cap:
             raise ValueError("trailing text exceeds trailing_cap")
         req = _SlotRequest(prompt, params, stream_callback=stream_callback)
+        if ref_codes is not None:
+            rc = np.asarray(ref_codes, np.int32)
+            groups = self.model.cfg.talker.num_code_groups
+            if rc.shape[1] < groups:
+                raise ValueError(
+                    f"ref_codes have {rc.shape[1]} groups, talker emits "
+                    f"{groups} — ICL clone serving needs equal widths"
+                )
+            req.ref_codes = rc[:, :groups]
+            req.ref_frames = rc.shape[0]
         self._queue.put(req)
         return req.future
 
@@ -182,11 +199,19 @@ class ContinuousBatchingEngine:
         return self.submit_ids(ids, speaker=speaker, language=language,
                                **gen_kwargs)
 
-    def submit_ids(self, ids, speaker=None, language="auto", **gen_kwargs
+    def submit_ids(self, ids, speaker=None, language="auto", *,
+                   speaker_embed=None, ref_ids=None, ref_codes=None,
+                   instruct_ids=None, non_streaming=False,
+                   stream_callback=None, **gen_kwargs
                    ) -> "Future[np.ndarray]":
+        """Full prompt-schema surface (custom voice / voice design /
+        voice clone incl. ICL) — mirrors ServingEngine.submit_ids."""
         prompt = build_prompt(
             self.model.talker_params, self.model.cfg, np.asarray(ids, np.int32),
             language=language, speaker=speaker,
+            speaker_embed=speaker_embed, instruct_ids=instruct_ids,
+            ref_ids=ref_ids, ref_codes=ref_codes,
+            non_streaming=non_streaming,
             st_params=self.model.subtalker_params,
         )
         params = self.model._merge_params(
@@ -194,7 +219,9 @@ class ContinuousBatchingEngine:
             or self.max_new_tokens,
             **gen_kwargs,
         )
-        return self.submit_prompt(prompt, params)
+        return self.submit_prompt(prompt, params,
+                                  stream_callback=stream_callback,
+                                  ref_codes=ref_codes)
 
     # -- internals ---------------------------------------------------------
 
@@ -231,7 +258,12 @@ class ContinuousBatchingEngine:
             jnp.int32(slot), sub, jnp.asarray(row), jnp.int32(limit),
         )
         self._slot_req[slot] = req
-        self._slot_codes[slot] = []
+        # ICL clone: ref codes enter the history as already-emitted frames —
+        # codec left context only, audio never emitted (see _SlotRequest).
+        self._slot_codes[slot] = (
+            [req.ref_codes] if req.ref_codes is not None else []
+        )
+        req.emitted_frames = req.ref_frames
         self.stats["requests"] += 1
 
     def _stream_emit(self, slot: int, done: bool) -> None:
@@ -275,7 +307,8 @@ class ContinuousBatchingEngine:
                 req.future.set_result(np.zeros((0,), np.float32))
             else:
                 wav = self.model.decode_codes([merged])[0]
-                req.future.set_result(wav)
+                up = self.model.cfg.codec.decode_upsample_rate
+                req.future.set_result(wav[req.ref_frames * up:])
         except Exception as exc:
             if not req.future.done():
                 req.future.set_exception(exc)

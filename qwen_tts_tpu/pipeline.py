@@ -380,6 +380,36 @@ class Qwen3TTSModel:
         return self._generate(texts, speakers, languages, instructs,
                               non_streaming=non_streaming_mode, **kwargs)
 
+    def clone_prompt_inputs(
+        self, voice_clone_prompt: Dict[str, Any], index: int = 0
+    ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray],
+               Optional[np.ndarray]]:
+        """One sample of a voice-clone prompt dict → the per-request
+        ``(speaker_embed, ref_ids, ref_codes)`` triple that ``build_prompt``
+        and the serving engines consume (ICL splice semantics from
+        modeling_qwen3_tts.py:1968-2019; ref text gets the reference chat
+        template via build_ref_text)."""
+        p = voice_clone_prompt
+
+        def col(name, default):
+            v = p.get(name)
+            return v[index] if v else default
+
+        spk = col("ref_spk_embedding", None)
+        icl = col("icl_mode", True)
+        xvec_only = col("x_vector_only_mode", False)
+        ref_code = col("ref_code", None)
+        use_spk = xvec_only or icl
+        speaker_embed = (np.asarray(spk)
+                         if (use_spk and spk is not None) else None)
+        if icl and ref_code is not None:
+            ref_codes = np.asarray(ref_code, np.int32)
+            ref_ids = self._tokenize(
+                self.build_ref_text(col("ref_text", None) or "")
+            )
+            return speaker_embed, ref_ids, ref_codes
+        return speaker_embed, None, None
+
     def generate_voice_clone(
         self,
         text: MaybeList,
@@ -403,14 +433,10 @@ class Qwen3TTSModel:
 
         speaker_embeds, ref_ids, ref_codes = [], [], []
         for i in range(n):
-            use_spk = xvec_only[i] or icl[i]
-            speaker_embeds.append(np.asarray(spk[i]) if (use_spk and spk[i] is not None) else None)
-            if icl[i] and ref_code[i] is not None:
-                ref_codes.append(np.asarray(ref_code[i], np.int32))
-                ref_ids.append(self._tokenize(self.build_ref_text(ref_texts[i] or "")))
-            else:
-                ref_codes.append(None)
-                ref_ids.append(None)
+            se, ri, rc = self.clone_prompt_inputs(voice_clone_prompt, i)
+            speaker_embeds.append(se)
+            ref_ids.append(ri)
+            ref_codes.append(rc)
         any_icl = any(c is not None for c in ref_codes)
         return self._generate(
             texts, [None] * n, languages,

@@ -2,10 +2,18 @@
 
 Endpoints:
   POST /tts      {"text": ... | "ids": [...], "speaker": ..., "language": ...,
-                  "max_new_tokens": ..., "seed": ...} → audio/wav
+                  "instruct": ..., "voice": <cloned-voice id>,
+                  "non_streaming": ..., "max_new_tokens": ..., "seed": ...}
+                 → audio/wav
+  POST /clone_voice  {"audio": <base64 WAV | URL | server path> |
+                      {"pcm": [...], "sample_rate": N},
+                      "ref_text": ..., "x_vector_only": ...}
+                     → {"voice": id}  (register a cloned voice; or load a
+                     saved voice file via {"voice_file": <server path>})
   POST /stream   single-utterance chunked-transfer streaming WAV-less PCM16
+                 (same body as /tts incl. "voice")
   GET  /healthz  → {"status": "ok", ...stats}
-  GET  /voices   → supported speakers/languages
+  GET  /voices   → supported speakers/languages + registered cloned voices
 
 Run:  python -m qwen_tts_tpu.server -d MODEL_DIR [--port 8000] [--batch 8]
 """
@@ -34,6 +42,11 @@ def _wav_bytes(samples: np.ndarray, rate: int) -> bytes:
 
 
 def make_handler(engine, model):
+    import threading
+
+    voices: dict = {}  # cloned-voice id → voice_clone_prompt dict
+    voices_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         # Chunked transfer framing is an HTTP/1.1 feature; the stdlib default
         # (HTTP/1.0) would make read-to-EOF clients see raw chunk-size lines
@@ -55,9 +68,12 @@ def make_handler(engine, model):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", **engine.stats})
             elif self.path == "/voices":
+                with voices_lock:
+                    cloned = sorted(voices)
                 self._json(200, {
                     "speakers": model.get_supported_speakers(),
                     "languages": model.get_supported_languages(),
+                    "cloned_voices": cloned,
                 })
             elif self.path in ("/", "/index.html"):
                 import os
@@ -94,8 +110,68 @@ def make_handler(engine, model):
                 self._tts(req)
             elif self.path == "/stream":
                 self._stream(req)
+            elif self.path == "/clone_voice":
+                self._clone_voice(req)
             else:
                 self._json(404, {"error": "not found"})
+
+        def _clone_voice(self, req):
+            """Register a cloned voice for later /tts | /stream use
+            (reference demo's Save Voice flow, cli/demo.py:452-583, as a
+            serving endpoint)."""
+            try:
+                if "voice_file" in req:
+                    prompt = model.load_voice_clone_prompt(req["voice_file"])
+                elif "audio" in req:
+                    audio = req["audio"]
+                    if isinstance(audio, dict):
+                        import numpy as _np
+
+                        audio = (_np.asarray(audio["pcm"], _np.float32),
+                                 int(audio["sample_rate"]))
+                    prompt = model.create_voice_clone_prompt(
+                        audio,
+                        ref_text=req.get("ref_text"),
+                        sample_rate=None,
+                        x_vector_only_mode=bool(req.get("x_vector_only",
+                                                        False)),
+                    )
+                else:
+                    self._json(400,
+                               {"error": "need 'audio' or 'voice_file'"})
+                    return
+            except Exception as exc:
+                self._json(400, {"error": str(exc)})
+                return
+            with voices_lock:
+                vid = f"voice-{len(voices) + 1}"
+                voices[vid] = prompt
+            self._json(200, {
+                "voice": vid,
+                "icl": bool(prompt["icl_mode"][0]),
+            })
+
+        def _clone_kwargs(self, req):
+            """Resolve 'voice'/'instruct'/'non_streaming' request fields into
+            submit_ids kwargs (shared by /tts and /stream)."""
+            kw = {}
+            vid = req.get("voice")
+            if vid is not None:
+                with voices_lock:
+                    prompt = voices.get(vid)
+                if prompt is None:
+                    raise KeyError(f"unknown voice {vid!r} (POST /clone_voice"
+                                   " first)")
+                se, ri, rc = model.clone_prompt_inputs(prompt)
+                kw.update(speaker_embed=se, ref_ids=ri, ref_codes=rc)
+            instruct = req.get("instruct")
+            if instruct:
+                kw["instruct_ids"] = model._tokenize(
+                    model.build_instruct_text(instruct)
+                )
+            if req.get("non_streaming"):
+                kw["non_streaming"] = True
+            return kw
 
         def _submit_kwargs(self, req):
             kw = {}
@@ -110,21 +186,21 @@ def make_handler(engine, model):
         def _tts(self, req):
             try:
                 if "ids" in req:
-                    fut = engine.submit_ids(
-                        np.asarray(req["ids"], np.int32),
-                        speaker=req.get("speaker"),
-                        language=req.get("language", "auto"),
-                        **self._submit_kwargs(req),
-                    )
+                    ids = np.asarray(req["ids"], np.int32)
                 elif "text" in req:
-                    fut = engine.submit_text(
-                        req["text"], speaker=req.get("speaker"),
-                        language=req.get("language", "auto"),
-                        **self._submit_kwargs(req),
+                    ids = model._tokenize(
+                        model.build_assistant_text(req["text"])
                     )
                 else:
                     self._json(400, {"error": "need 'text' or 'ids'"})
                     return
+                fut = engine.submit_ids(
+                    ids,
+                    speaker=req.get("speaker"),
+                    language=req.get("language", "auto"),
+                    **self._clone_kwargs(req),
+                    **self._submit_kwargs(req),
+                )
                 wav = fut.result(timeout=600)
             except Exception as exc:
                 self._json(500, {"error": str(exc)})
@@ -151,11 +227,15 @@ def make_handler(engine, model):
                     return
                 from qwen_tts_tpu.generate import build_prompt
 
+                clone_kw = self._clone_kwargs(req)
+                ref_codes = clone_kw.pop("ref_codes", None)
                 prompt = build_prompt(
                     model.talker_params, model.cfg, ids,
                     language=req.get("language", "auto"),
                     speaker=req.get("speaker"),
+                    ref_codes=ref_codes,
                     st_params=model.subtalker_params,
+                    **clone_kw,
                 )
             except Exception as exc:
                 self._json(400, {"error": str(exc)})
@@ -166,7 +246,7 @@ def make_handler(engine, model):
             self.send_header("X-Sample-Rate", str(model.sample_rate))
             self.end_headers()
             try:
-                for wav in self._wav_chunks(prompt, params):
+                for wav in self._wav_chunks(prompt, params, ref_codes):
                     pcm = np.clip(wav * 32767.0, -32768, 32767).astype("<i2").tobytes()
                     if not pcm:
                         continue
@@ -176,11 +256,13 @@ def make_handler(engine, model):
             except BrokenPipeError:
                 pass
 
-        def _wav_chunks(self, prompt, params):
+        def _wav_chunks(self, prompt, params, ref_codes=None):
             """Audio chunk source: continuous engine slots when available
             (N concurrent /stream clients share ONE compiled decode program,
-            each slot streaming independently via its callback), else the
-            solo resumable-segment path."""
+            each slot streaming independently via its callback; ICL ref
+            codes condition each chunk's codec left context), else the solo
+            resumable-segment path (generation is still voice-cloned via the
+            ICL prompt; ref codec context applies from the engine path)."""
             if hasattr(engine, "submit_prompt"):
                 import queue as _q
 
@@ -188,6 +270,7 @@ def make_handler(engine, model):
                 fut = engine.submit_prompt(
                     prompt, params,
                     stream_callback=lambda wav, done: chunks.put((wav, done)),
+                    ref_codes=ref_codes,
                 )
                 while True:
                     try:

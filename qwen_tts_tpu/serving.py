@@ -37,6 +37,10 @@ class TTSRequest:
     params: GenerationParams
     future: "Future[np.ndarray]" = dataclasses.field(default_factory=Future)
     enqueued_at: float = dataclasses.field(default_factory=time.perf_counter)
+    # Voice clone (ICL): codec codes of the reference audio, prepended before
+    # codec decode and cut from the waveform after — the reference's
+    # ref-code prepend + proportional wav cut (qwen3_tts_model.py:612-631).
+    ref_codes: Optional[np.ndarray] = None
 
 
 class ServingEngine:
@@ -88,11 +92,23 @@ class ServingEngine:
         ids: np.ndarray,
         speaker: Optional[str] = None,
         language: str = "auto",
+        *,
+        speaker_embed: Optional[np.ndarray] = None,
+        ref_ids: Optional[np.ndarray] = None,
+        ref_codes: Optional[np.ndarray] = None,
+        instruct_ids: Optional[np.ndarray] = None,
+        non_streaming: bool = False,
         **gen_kwargs,
     ) -> "Future[np.ndarray]":
+        """Full prompt-schema surface: custom voice (speaker), voice design
+        (instruct_ids), voice clone (speaker_embed x-vector, plus
+        ref_ids/ref_codes for ICL mode)."""
         prompt = build_prompt(
             self.model.talker_params, self.model.cfg, ids,
             language=language, speaker=speaker,
+            speaker_embed=speaker_embed, instruct_ids=instruct_ids,
+            ref_ids=ref_ids, ref_codes=ref_codes,
+            non_streaming=non_streaming,
             st_params=self.model.subtalker_params,
         )
         params = self.model._merge_params(
@@ -100,7 +116,9 @@ class ServingEngine:
             or self.max_new_tokens,
             **gen_kwargs,
         )
-        req = TTSRequest(prompt, params)
+        req = TTSRequest(prompt, params,
+                         ref_codes=None if ref_codes is None
+                         else np.asarray(ref_codes, np.int32))
         self._queue.put(req)
         return req.future
 
@@ -152,9 +170,21 @@ class ServingEngine:
                 codes, _info = self.model.generate_codes_from_prompts(
                     [r.prompt for r in batch], params
                 )
-                wavs = self.model.decode_codes(codes)
-                for req, wav in zip(batch, wavs):
-                    req.future.set_result(wav)
+                # ICL voice clone: ref codes join the codec decode as leading
+                # context, their audio is cut (qwen3_tts_model.py:612-631).
+                merged, cut = [], []
+                for req, c in zip(batch, codes):
+                    if req.ref_codes is not None:
+                        merged.append(np.concatenate([req.ref_codes, c],
+                                                     axis=0))
+                        cut.append(req.ref_codes.shape[0])
+                    else:
+                        merged.append(c)
+                        cut.append(0)
+                wavs = self.model.decode_codes(merged)
+                up = self.model.cfg.codec.decode_upsample_rate
+                for req, wav, k in zip(batch, wavs, cut):
+                    req.future.set_result(wav[k * up:])
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1
                 self.stats["frames"] += sum(c.shape[0] for c in codes)
