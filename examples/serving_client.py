@@ -76,6 +76,35 @@ def main() -> int:
         f.write(b"data" + struct.pack("<I", 2 * n))
         f.write(bytes(pcm))
     print("wrote tts_out.wav, stream_out.wav")
+
+    # ---- voice clone over HTTP (Base checkpoints) ------------------------
+    # python examples/serving_client.py URL "text" ref.wav "ref transcript"
+    if len(sys.argv) > 3:
+        import base64
+
+        with open(sys.argv[3], "rb") as f:
+            audio_b64 = base64.b64encode(f.read()).decode()
+        body = json.dumps({
+            "audio": audio_b64,
+            "ref_text": sys.argv[4] if len(sys.argv) > 4 else None,
+        }).encode()
+        req = urllib.request.Request(
+            f"{base}/clone_voice", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            voice = json.load(r)["voice"]
+        print("registered cloned voice:", voice)
+        body = json.dumps({"text": text, "voice": voice,
+                           "language": "auto"}).encode()
+        req = urllib.request.Request(
+            f"{base}/tts", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            with open("clone_out.wav", "wb") as f:
+                f.write(r.read())
+        print("wrote clone_out.wav")
     return 0
 
 
