@@ -64,7 +64,9 @@ def collate(
     d = tk.hidden_size
     lengths = [8 + (e.text_ids.shape[0] - 3) + e.audio_codes.shape[0] + 1
                for e in examples]
-    t_max = max(lengths) + 7  # reference pads to max + 8 total
+    # Reference width: max(text_len + codes_len) + 8 (dataset.py:149-150);
+    # lengths[i] == text_len + codes_len + 6, so +2 lands exactly there.
+    t_max = max(lengths) + 2
     b = len(examples)
 
     text_ids = np.zeros((b, t_max), np.int64)
@@ -98,6 +100,9 @@ def collate(
         codec_ids0[i, 8 : 8 + tl - 2] = tk.codec_pad_id
         codec_ids0[i, 8 + tl - 2] = tk.codec_bos_id
         codec_ids0[i, 8 + tl - 1 : 8 + tl - 1 + cl] = codes[:, 0]
+        # Final attended position carries codec EOS as input (dataset.py:193);
+        # its output is unsupervised, but the layout matches bit-exactly.
+        codec_ids0[i, 8 + tl - 1 + cl] = tk.codec_eos_token_id
         codec_mask_emb[i, 3 : 8 + tl + cl] = 1.0
         codec_mask_emb[i, 6] = 0.0  # speaker-embedding slot
 
