@@ -413,15 +413,39 @@ class Qwen3TTSModel:
     def generate_voice_clone(
         self,
         text: MaybeList,
-        voice_clone_prompt: Dict[str, Any],
+        voice_clone_prompt: Optional[Any] = None,
         language: MaybeList = "auto",
         non_streaming_mode: bool = False,
+        *,
+        ref_audio=None,
+        ref_text: Optional[MaybeList] = None,
+        x_vector_only_mode: bool = False,
         **kwargs,
     ) -> Tuple[List[np.ndarray], int]:
-        """``voice_clone_prompt`` follows the reference dict layout
-        (qwen3_tts_model.py:355-458): ref_code (list of [T,G] arrays or None),
-        ref_spk_embedding (list of x-vectors), ref_text (list of str),
-        icl_mode / x_vector_only_mode (lists of bool)."""
+        """``voice_clone_prompt`` accepts every form the reference takes
+        (qwen3_tts_model.py:470-487): the dict layout from
+        ``create_voice_clone_prompt`` (ref_code / ref_spk_embedding /
+        ref_text / icl_mode / x_vector_only_mode lists), a single
+        VoiceClonePromptItem-like object, or a list of them. Alternatively
+        pass ``ref_audio`` (+ ``ref_text`` / ``x_vector_only_mode``) and the
+        prompt is built inline (qwen3_tts_model.py:560-588)."""
+        if voice_clone_prompt is None:
+            if ref_audio is None:
+                raise ValueError(
+                    "provide voice_clone_prompt, or ref_audio (+ref_text)"
+                )
+            voice_clone_prompt = self.create_voice_clone_prompt(
+                ref_audio, ref_text=ref_text,
+                x_vector_only_mode=x_vector_only_mode,
+            )
+        else:
+            from qwen_tts_tpu.voice_prompt import (
+                normalize_voice_clone_prompt,
+            )
+
+            voice_clone_prompt = normalize_voice_clone_prompt(
+                voice_clone_prompt
+            )
         texts = _as_list(text)
         languages = _broadcast(_as_list(language), len(texts))
         n = len(texts)

@@ -76,6 +76,30 @@ def _items_to_prompt(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     return prompt
 
 
+def normalize_voice_clone_prompt(prompt) -> Dict[str, Any]:
+    """Accept every prompt form the reference's generate_voice_clone takes
+    (qwen3_tts_model.py:470-487): the dict-of-lists layout, a single
+    VoiceClonePromptItem-like object, or a list of them (dataclasses or
+    plain dicts) — normalized to the dict-of-lists layout."""
+    if isinstance(prompt, dict) and "ref_spk_embedding" in prompt:
+        v = prompt["ref_spk_embedding"]
+        if v is None or isinstance(v, (list, tuple)):
+            return prompt  # already dict-of-lists
+        return _items_to_prompt([prompt])  # single flat-dict item
+    items = prompt if isinstance(prompt, (list, tuple)) else [prompt]
+
+    def as_dict(it):
+        if isinstance(it, dict):
+            return it
+        import dataclasses as _dc
+
+        if _dc.is_dataclass(it):
+            return _dc.asdict(it)
+        return {k: getattr(it, k) for k in _FIELDS if hasattr(it, k)}
+
+    return _items_to_prompt([as_dict(it) for it in items])
+
+
 def _to_numpy(x) -> np.ndarray:
     if hasattr(x, "detach"):  # torch tensor without importing torch
         x = x.detach().cpu().numpy()

@@ -127,3 +127,41 @@ def test_invalid_files_rejected(tmp_path):
     torch.save({"items": []}, empty)
     with pytest.raises(ValueError, match="empty"):
         load_voice_clone_prompt(empty)
+
+
+def test_generate_accepts_reference_item_forms(model, prompt):
+    """generate_voice_clone takes the reference's prompt forms
+    (qwen3_tts_model.py:470-487): items list / single item / flat dict —
+    all equal to the dict layout, greedy."""
+    kw = dict(language="english", max_new_tokens=3,
+              do_sample=False, subtalker_dosample=False)
+    want, _ = model.generate_voice_clone("hi", prompt, **kw)
+
+    item = {
+        "ref_code": prompt["ref_code"][0],
+        "ref_spk_embedding": prompt["ref_spk_embedding"][0],
+        "ref_text": prompt["ref_text"][0],
+        "icl_mode": True,
+        "x_vector_only_mode": False,
+    }
+    for form in ([item], item):
+        got, _ = model.generate_voice_clone("hi", form, **kw)
+        np.testing.assert_array_equal(want[0], got[0])
+
+
+def test_generate_builds_prompt_from_ref_audio(model):
+    """The reference's inline path: generate_voice_clone(ref_audio=...)
+    without a prebuilt prompt (qwen3_tts_model.py:560-588)."""
+    wav = (0.1 * np.sin(np.linspace(0, 150, 4800))).astype(np.float32)
+    kw = dict(language="english", max_new_tokens=3,
+              do_sample=False, subtalker_dosample=False)
+    two_step, _ = model.generate_voice_clone(
+        "hi", model.create_voice_clone_prompt((wav, 24000), ref_text="ref"),
+        **kw,
+    )
+    inline, _ = model.generate_voice_clone(
+        "hi", ref_audio=(wav, 24000), ref_text="ref", **kw,
+    )
+    np.testing.assert_array_equal(two_step[0], inline[0])
+    with pytest.raises(ValueError, match="ref_audio"):
+        model.generate_voice_clone("hi", **kw)
