@@ -164,3 +164,31 @@ def test_http_clone_voice_roundtrip(model):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_http_instruct_and_non_streaming_fields(model):
+    """/tts accepts "instruct" (voice-design path) and "non_streaming"
+    (reference modeling_qwen3_tts.py:2203-2227 prompt schema)."""
+    from http.server import ThreadingHTTPServer
+
+    from qwen_tts_tpu.server import make_handler
+
+    engine = ServingEngine(model, max_batch=2, max_wait_ms=5,
+                           max_new_tokens=3).start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(engine, model))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with _post(port, "/tts", {
+            "text": "hi", "language": "english", "speaker": "aiden",
+            "instruct": "speak warmly", "non_streaming": True,
+            "max_new_tokens": 3, "do_sample": False,
+            "subtalker_dosample": False,
+        }) as r:
+            body = r.read()
+        with wave.open(io.BytesIO(body)) as w:
+            assert w.getnframes() > 0
+    finally:
+        server.shutdown()
+        engine.stop()
