@@ -149,7 +149,14 @@ def main() -> None:
     ):
         audio_sec = batch * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
         run = make_run(sp, c, tp, batch)
+        # Progress on stderr: the tunnel's program-load path sometimes
+        # degrades to minutes per new program (CLAUDE.md gotcha) — these
+        # lines make a slow run diagnosable from the driver log.
+        print(f"[bench] {name}: warmup/compile…", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
         run(0)  # warmup / compile
+        print(f"[bench] {name}: warmup {time.perf_counter() - t0:.1f}s, "
+              f"measuring {MEASURE_RUNS} runs", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         for i in range(MEASURE_RUNS):
             run(i + 1)
