@@ -139,13 +139,17 @@ def main() -> None:
     talker_i8["trunk"] = quantize_trunk_int8(talker_params["trunk"])
 
     report = {}
+    # Headline configs FIRST and the JSON line emitted as soon as they
+    # finish: tunnel program loads can degrade to minutes each (CLAUDE.md
+    # gotcha), and a budget-killed run should still have produced the
+    # driver's metric before the secondary breakdown configs run.
     for name, sp, c, tp, batch in (
-        ("bf16", st_params, cfg, talker_params, BATCH),
-        ("int8", st_params_i8, cfg, talker_params, BATCH),
         ("int8_16groups", st16, cfg16, talker_i8, BATCH),
         # Max-throughput shape: the 16-group flagship fits b64 (the b64 VMEM
         # cliff only hits the 32-group unrolled int8 body); b96 OOMs HBM.
         ("int8_16groups_b64", st16, cfg16, talker_i8, 64),
+        ("bf16", st_params, cfg, talker_params, BATCH),
+        ("int8", st_params_i8, cfg, talker_params, BATCH),
     ):
         audio_sec = batch * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
         run = make_run(sp, c, tp, batch)
@@ -169,25 +173,26 @@ def main() -> None:
             "ms_per_frame": round(wall / FRAMES * 1e3, 3),
             "ms_per_token_per_stream": round(wall / FRAMES / batch * 1e3, 4),
         }
-
-    with open("bench_b32.json", "w") as f:
-        json.dump({
-            "batch": BATCH, "frames": FRAMES,
-            "configs": report,
-            "baseline_rtf": BASELINE_RTF,
-        }, f, indent=2)
-
-    # Headline = the flagship serving config at its max-throughput batch:
-    # real 12Hz checkpoints run 16 code groups (== codec quantizers), and
-    # serving mode quantizes both trunks (quantize_for_serving(talker=True)).
-    best = max(report["int8_16groups"]["rtf"],
-               report["int8_16groups_b64"]["rtf"])
-    print(json.dumps({
-        "metric": "rtf",
-        "value": best,
-        "unit": "x_realtime",
-        "vs_baseline": round(best / BASELINE_RTF, 2),
-    }))
+        # Incremental artifact + early headline (see loop-order comment).
+        with open("bench_b32.json", "w") as f:
+            json.dump({
+                "batch": BATCH, "frames": FRAMES,
+                "configs": report,
+                "baseline_rtf": BASELINE_RTF,
+            }, f, indent=2)
+        if name == "int8_16groups_b64":
+            # Headline = the flagship serving config at its max-throughput
+            # batch: real 12Hz checkpoints run 16 code groups (== codec
+            # quantizers), and serving mode quantizes both trunks
+            # (quantize_for_serving(talker=True)).
+            best = max(report["int8_16groups"]["rtf"],
+                       report["int8_16groups_b64"]["rtf"])
+            print(json.dumps({
+                "metric": "rtf",
+                "value": best,
+                "unit": "x_realtime",
+                "vs_baseline": round(best / BASELINE_RTF, 2),
+            }), flush=True)
 
 
 if __name__ == "__main__":
