@@ -149,13 +149,24 @@ def examples_from_jsonl(
     path: str, tokenizer, build_assistant_text
 ) -> List[SFTExample]:
     """Reference JSONL layout (finetuning/dataset.py __getitem__): fields
-    "text", "audio_codes" (from prepare_data), optional "speaker_embedding"."""
+    "text", "audio_codes" (from prepare_data), optional "speaker_embedding".
+    Rows may instead carry pre-tokenized "text_ids" (already template-trimmed,
+    dataset.py:141 semantics) — the tokenizer-free path, mirroring the CLI's
+    pre-tokenized-ids surface."""
     rows = load_jsonl(path)
     out = []
     for row in rows:
-        ids = np.asarray(
-            tokenizer(build_assistant_text(row["text"]))["input_ids"], np.int64
-        )[:-5]
+        if "text_ids" in row:
+            ids = np.asarray(row["text_ids"], np.int64)
+        else:
+            if tokenizer is None:
+                raise ValueError(
+                    "row has no 'text_ids' and no tokenizer is available"
+                )
+            ids = np.asarray(
+                tokenizer(build_assistant_text(row["text"]))["input_ids"],
+                np.int64,
+            )[:-5]
         out.append(SFTExample(
             text_ids=ids,
             audio_codes=np.asarray(row["audio_codes"], np.int64),

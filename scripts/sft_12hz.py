@@ -54,12 +54,11 @@ def main() -> int:
     model = Qwen3TTSModel.from_pretrained(
         args.model_path, talker_dtype=jnp.float32
     )
-    if model.tokenizer is None:
-        print("error: checkpoint has no HF tokenizer files", file=sys.stderr)
-        return 2
     examples = examples_from_jsonl(
         args.data, model.tokenizer, Qwen3TTSModel.build_assistant_text
     )
+    # (rows carrying pre-tokenized "text_ids" need no HF tokenizer;
+    # examples_from_jsonl raises when a "text" row finds none)
     print(f"{len(examples)} training examples")
 
     # Live speaker embedding per example (sft_12hz.py:82-84): extract from
