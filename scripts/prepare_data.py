@@ -26,7 +26,13 @@ def main() -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
