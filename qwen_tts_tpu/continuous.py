@@ -105,7 +105,7 @@ class ContinuousBatchingEngine:
         num_slots: int = 8,
         segment_frames: int = 25,
         max_new_tokens: int = 512,
-        prefill_bucket: int = 64,
+        prefill_bucket=64,
         trailing_cap: int = 256,
         stream_context_frames: int = 25,
     ):
@@ -113,15 +113,26 @@ class ContinuousBatchingEngine:
         self.num_slots = num_slots
         self.segment_frames = segment_frames
         self.max_new_tokens = max_new_tokens
-        self.prefill_bucket = prefill_bucket
+        # One or several prefill buckets (e.g. (64, 256)): each admit pads
+        # the prompt to the smallest fitting bucket, so short custom-voice
+        # prompts don't pay a long-ICL bucket's prefill FLOPs while long
+        # clone prompts still fit. Compile cost is bounded: one prefill
+        # program per bucket; the slot-pool KV cache is sized by the
+        # largest. Back-compat: a plain int keeps the old single-bucket
+        # behavior.
+        buckets = ((prefill_bucket,) if isinstance(prefill_bucket, int)
+                   else tuple(prefill_bucket))
+        self.prefill_buckets = tuple(sorted(set(int(b) for b in buckets)))
+        self.prefill_bucket = self.prefill_buckets[-1]
         self.trailing_cap = trailing_cap
         self.stream_context_frames = stream_context_frames
-        self.stats = {"requests": 0, "segments": 0, "frames": 0}
+        self.stats = {"requests": 0, "segments": 0, "frames": 0,
+                      "bucket_admits": {b: 0 for b in self.prefill_buckets}}
 
         cfg = model.cfg.talker
         dtype = model.talker_params["norm"].dtype
         b = num_slots
-        s_max = prefill_bucket + max_new_tokens
+        s_max = self.prefill_bucket + max_new_tokens
         from qwen_tts_tpu.models.talker import alloc_kv_cache
 
         kc, vc = alloc_kv_cache(cfg, b, s_max, dtype)
@@ -134,8 +145,8 @@ class ContinuousBatchingEngine:
             presence=jnp.zeros((b, cfg.vocab_size), bool),
             eos=jnp.ones((b,), bool),            # all slots start idle
             num_gen=jnp.zeros((b,), jnp.int32),
-            prefix_len=jnp.full((b,), prefill_bucket, jnp.int32),
-            n_real=jnp.full((b,), prefill_bucket, jnp.int32),
+            prefix_len=jnp.full((b,), self.prefill_bucket, jnp.int32),
+            n_real=jnp.full((b,), self.prefill_bucket, jnp.int32),
             valid_from=jnp.zeros((b,), jnp.int32),
             rng=jax.random.PRNGKey(0),
         )
@@ -229,8 +240,12 @@ class ContinuousBatchingEngine:
         params = req.params
         self._vec = self._vec.set_row(slot, params.talker_sampling())
         self._st_vec = self._st_vec.set_row(slot, params.subtalker_sampling())
+        # Smallest bucket the prompt fits (submit_prompt validated the max).
+        plen = req.prompt.embeds.shape[0]
+        bucket = next(b for b in self.prefill_buckets if plen <= b)
+        self.stats["bucket_admits"][bucket] += 1
         embeds, mask, trailing, _ = batch_prompts(
-            [req.prompt], bucket=self.prefill_bucket
+            [req.prompt], bucket=bucket
         )
         dtype = self.model.talker_params["norm"].dtype
         sub = init_decode(

@@ -304,7 +304,10 @@ def main(argv=None) -> int:
                    help="per-slot continuous batching (requests join live "
                         "decode slots) instead of window batching")
     p.add_argument("--segment-frames", type=int, default=25)
-    p.add_argument("--prefill-bucket", type=int, default=64)
+    p.add_argument("--prefill-bucket", default="64",
+                   help="prefill bucket, or comma list e.g. 64,256 (long "
+                        "ICL clone prompts pad to the smallest fitting "
+                        "bucket; one compiled prefill program per bucket)")
     args = p.parse_args(argv)
 
     from qwen_tts_tpu.pipeline import Qwen3TTSModel
@@ -315,9 +318,13 @@ def main(argv=None) -> int:
     if args.continuous:
         from qwen_tts_tpu.continuous import ContinuousBatchingEngine
 
+        buckets = tuple(
+            int(b) for b in str(args.prefill_bucket).split(",") if b
+        )
         engine = ContinuousBatchingEngine(
             model, num_slots=args.batch, segment_frames=args.segment_frames,
-            max_new_tokens=args.max_tokens, prefill_bucket=args.prefill_bucket,
+            max_new_tokens=args.max_tokens,
+            prefill_bucket=buckets if len(buckets) > 1 else buckets[0],
         ).start()
     else:
         from qwen_tts_tpu.serving import ServingEngine
