@@ -90,6 +90,37 @@ def main() -> int:
         codes_ours = ours()
         t_ours.append(time.perf_counter() - t0)
 
+    # --- this framework, int8 serving mode --------------------------------
+    # Third engine column (the reference's 3-way benchmark_all.py compares
+    # python / C / metal; ours compares parity-f32 / int8-serving /
+    # reference). int8 rounding legitimately changes traces, so this row is
+    # timing-only.
+    from qwen_tts_tpu.models.trunk import quantize_trunk_int8
+
+    talker_i8 = dict(talker)
+    talker_i8["trunk"] = quantize_trunk_int8(talker["trunk"])
+    subtalker_i8 = dict(subtalker)
+    subtalker_i8["trunk"] = quantize_trunk_int8(subtalker["trunk"])
+
+    def ours_int8():
+        out = generate_codes(
+            talker_i8, subtalker_i8, cfg.talker,
+            jnp.asarray(embeds, jnp.float32), jnp.asarray(mask),
+            jnp.asarray(trailing, jnp.float32),
+            sampling=gp.talker_sampling(),
+            st_sampling=gp.subtalker_sampling(),
+            max_new_tokens=args.tokens, rng=jax.random.PRNGKey(0),
+            trim_last_on_budget=False,
+        )
+        return np.asarray(out.codes)
+
+    ours_int8()  # compile
+    t_i8 = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        ours_int8()
+        t_i8.append(time.perf_counter() - t0)
+
     # --- the reference ----------------------------------------------------
     ref_model, _ = ref_oracle.load_ref_tts(model_dir)
     ref_oracle.ref_generate(  # warmup
@@ -112,10 +143,12 @@ def main() -> int:
         "benchmark runs diverged — parity broken"
 
     med_ours = sorted(t_ours)[len(t_ours) // 2]
+    med_i8 = sorted(t_i8)[len(t_i8) // 2]
     med_ref = sorted(t_ref)[len(t_ref) // 2]
     report = {
         "tokens": args.tokens,
         "ours_ms_per_token": round(med_ours / args.tokens * 1e3, 3),
+        "ours_int8_ms_per_token": round(med_i8 / args.tokens * 1e3, 3),
         "reference_ms_per_token": round(med_ref / args.tokens * 1e3, 3),
         "ratio_ours_over_reference": round(med_ours / med_ref, 4),
         "platform": "cpu-f32 (hardware-neutral)",
