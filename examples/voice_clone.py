@@ -33,6 +33,16 @@ def main(model_dir: str, ref_wav_path: str, ref_text: str) -> None:
     )
     write_wav("clone_xvec.wav", wavs[0], out_sr)
 
+    # Persist the cloned voice as a reusable voice file (.pt is
+    # byte-compatible with the reference demo's Save Voice flow) and
+    # synthesize later without the reference audio.
+    model.save_voice_clone_prompt(prompt, "my_voice.pt")
+    wavs, out_sr = model.generate_voice_clone(
+        "Generated from the saved voice file.",
+        model.load_voice_clone_prompt("my_voice.pt"), language="auto",
+    )
+    write_wav("clone_from_file.wav", wavs[0], out_sr)
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], sys.argv[3])
