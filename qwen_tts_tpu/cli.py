@@ -58,6 +58,23 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--subtalker-top-p", type=float, default=None)
     p.add_argument("--benchmark-runs", type=int, default=1)
     p.add_argument("--benchmark-warmup", type=int, default=0)
+    # Voice design / clone surface (beyond the reference C CLI, which is
+    # CustomVoice-only — these mirror the Python API / server / demo).
+    p.add_argument("--instruct", default=None,
+                   help="voice-design instruction text")
+    p.add_argument("--non-streaming", action="store_true",
+                   help="non-streaming prompt schema "
+                        "(modeling_qwen3_tts.py:2203-2227)")
+    p.add_argument("--ref-audio", default=None,
+                   help="voice clone: reference WAV path/URL/base64")
+    p.add_argument("--ref-text", default=None,
+                   help="voice clone: reference transcript (ICL mode)")
+    p.add_argument("--x-vector-only", action="store_true",
+                   help="voice clone: timbre only, no ICL splice")
+    p.add_argument("--voice-file", default=None,
+                   help="voice clone: saved voice file (.pt/.npz)")
+    p.add_argument("--save-voice", default=None,
+                   help="persist the built clone prompt as a voice file")
     return p
 
 
@@ -118,9 +135,31 @@ def main(argv=None) -> int:
             min_new_tokens=args.fixed_codec_tokens,
         )
 
+    # Voice clone / design inputs (same plumbing as the engines/server).
+    clone_prompt = None
+    if args.voice_file:
+        clone_prompt = model.load_voice_clone_prompt(args.voice_file)
+    elif args.ref_audio:
+        clone_prompt = model.create_voice_clone_prompt(
+            args.ref_audio, ref_text=args.ref_text,
+            x_vector_only_mode=args.x_vector_only,
+        )
+    if clone_prompt is not None and args.save_voice:
+        model.save_voice_clone_prompt(clone_prompt, args.save_voice)
+        log(0, f"Saved voice file {args.save_voice}")
+    speaker_embed = ref_ids = ref_codes = None
+    if clone_prompt is not None:
+        speaker_embed, ref_ids, ref_codes = model.clone_prompt_inputs(
+            clone_prompt
+        )
+    instr_ids = (model._tokenize(model.build_instruct_text(args.instruct))
+                 if args.instruct else None)
+
     prompt = build_prompt(
         model.talker_params, model.cfg, ids,
         language=args.language, speaker=args.speaker,
+        speaker_embed=speaker_embed, ref_ids=ref_ids, ref_codes=ref_codes,
+        instruct_ids=instr_ids, non_streaming=args.non_streaming,
         st_params=model.subtalker_params,
     )
 
@@ -146,8 +185,16 @@ def main(argv=None) -> int:
             log(2, "Token trace: " + ",".join(str(x) for x in codes[0][:, 0]))
 
         t_codec = time.perf_counter()
-        wavs = model.decode_codes(codes)
-        wav = wavs[0]
+        if ref_codes is not None:
+            # ICL: ref codes lead the codec decode, their audio is cut
+            # (qwen3_tts_model.py:612-631).
+            rc = np.asarray(ref_codes, np.int32)
+            merged = np.concatenate([rc, codes[0]], axis=0)
+            up = model.cfg.codec.decode_upsample_rate
+            wav = model.decode_codes([merged])[0][rc.shape[0] * up:]
+        else:
+            wavs = model.decode_codes(codes)
+            wav = wavs[0]
         t_codec = time.perf_counter() - t_codec
         total = time.perf_counter() - t_gen
         audio_sec = wav.shape[0] / model.sample_rate

@@ -133,10 +133,12 @@ def save_voice_clone_prompt(prompt: Dict[str, Any], path: str) -> str:
 
     payload = {"items": [
         {**it,
+         # .copy(): torch.from_numpy rejects read-only views (e.g. arrays
+         # fresh off jax device_get) with a warning.
          "ref_code": None if it["ref_code"] is None
-         else torch.from_numpy(np.ascontiguousarray(it["ref_code"])),
+         else torch.from_numpy(np.array(it["ref_code"], copy=True)),
          "ref_spk_embedding": torch.from_numpy(
-             np.ascontiguousarray(it["ref_spk_embedding"])
+             np.array(it["ref_spk_embedding"], copy=True)
          )}
         for it in items
     ]}
