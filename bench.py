@@ -95,7 +95,8 @@ def main() -> None:
 
     decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
 
-    def make_run(sp, run_cfg=cfg, tp=talker_params, batch=BATCH):
+    def make_run(sp, run_cfg=cfg, tp=talker_params, batch=BATCH,
+                 kv_int8=False, codec_max_batch=0):
         embeds, mask, trailing = make_inputs(batch)
 
         def run(seed: int):
@@ -103,14 +104,15 @@ def main() -> None:
                 tp, sp, run_cfg, embeds, mask, trailing,
                 sampling=sampling, st_sampling=st_sampling,
                 max_new_tokens=FRAMES, rng=jax.random.PRNGKey(seed),
-                trim_last_on_budget=False,
+                trim_last_on_budget=False, kv_int8=kv_int8,
             )
             codes = jnp.minimum(
                 out.codes[..., : codec_cfg.num_quantizers],
                 codec_cfg.codebook_size - 1,
             )
             wav = codec_mod.chunked_decode(
-                codec_params, codec_cfg, codes, decode_fn=decode_jit
+                codec_params, codec_cfg, codes, decode_fn=decode_jit,
+                max_batch=codec_max_batch,
             )
             return jax.block_until_ready(wav)
         return run
@@ -143,22 +145,38 @@ def main() -> None:
     # finish: tunnel program loads can degrade to minutes each (CLAUDE.md
     # gotcha), and a budget-killed run should still have produced the
     # driver's metric before the secondary breakdown configs run.
-    for name, sp, c, tp, batch in (
-        ("int8_16groups", st16, cfg16, talker_i8, BATCH),
-        # Max-throughput shape: the 16-group flagship fits b64 (the b64 VMEM
-        # cliff only hits the 32-group unrolled int8 body); b96 OOMs HBM.
-        ("int8_16groups_b64", st16, cfg16, talker_i8, 64),
-        ("bf16", st_params, cfg, talker_params, BATCH),
-        ("int8", st_params_i8, cfg, talker_params, BATCH),
-    ):
+    # (name, st_params, cfg, talker_params, batch, kv_int8, codec_max_batch)
+    configs = (
+        ("int8_16groups", st16, cfg16, talker_i8, BATCH, False, 0),
+        # Max-throughput shapes. bf16-cache b96 OOM'd in round 2 at 18.75 GiB
+        # — the peak was the vocoder activations (~3 live [B,T·1920,C] bufs),
+        # so large batches decode the codec in b32 slices (zero redundant
+        # compute) and store the talker KV cache int8
+        # (quantize_for_serving(kv=True) — capacity + bandwidth).
+        ("int8_16groups_b64", st16, cfg16, talker_i8, 64, False, 0),
+        ("int8_16groups_b96_kv8", st16, cfg16, talker_i8, 96, True, 32),
+        ("int8_16groups_b128_kv8", st16, cfg16, talker_i8, 128, True, 32),
+        ("bf16", st_params, cfg, talker_params, BATCH, False, 0),
+        ("int8", st_params_i8, cfg, talker_params, BATCH, False, 0),
+    )
+    HEADLINE = {"int8_16groups", "int8_16groups_b64", "int8_16groups_b96_kv8",
+                "int8_16groups_b128_kv8"}
+    emitted = False
+    for name, sp, c, tp, batch, kv8, cmb in configs:
         audio_sec = batch * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
-        run = make_run(sp, c, tp, batch)
+        run = make_run(sp, c, tp, batch, kv_int8=kv8, codec_max_batch=cmb)
         # Progress on stderr: the tunnel's program-load path sometimes
         # degrades to minutes per new program (CLAUDE.md gotcha) — these
         # lines make a slow run diagnosable from the driver log.
         print(f"[bench] {name}: warmup/compile…", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
-        run(0)  # warmup / compile
+        try:
+            run(0)  # warmup / compile
+        except Exception as exc:  # e.g. an OOM probe config — keep benching
+            print(f"[bench] {name}: FAILED ({type(exc).__name__}): "
+                  f"{str(exc)[:200]}", file=sys.stderr, flush=True)
+            report[name] = {"batch": batch, "error": type(exc).__name__}
+            continue
         print(f"[bench] {name}: warmup {time.perf_counter() - t0:.1f}s, "
               f"measuring {MEASURE_RUNS} runs", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
@@ -180,13 +198,14 @@ def main() -> None:
                 "configs": report,
                 "baseline_rtf": BASELINE_RTF,
             }, f, indent=2)
-        if name == "int8_16groups_b64":
+        if name == "int8_16groups_b128_kv8" and not emitted:
             # Headline = the flagship serving config at its max-throughput
             # batch: real 12Hz checkpoints run 16 code groups (== codec
-            # quantizers), and serving mode quantizes both trunks
-            # (quantize_for_serving(talker=True)).
-            best = max(report["int8_16groups"]["rtf"],
-                       report["int8_16groups_b64"]["rtf"])
+            # quantizers), serving mode quantizes both trunks + the KV cache
+            # (quantize_for_serving(talker=True, kv=True)).
+            best = max(r["rtf"] for n, r in report.items()
+                       if n in HEADLINE and "rtf" in r)
+            emitted = True
             print(json.dumps({
                 "metric": "rtf",
                 "value": best,

@@ -58,12 +58,18 @@ def _insert_slot(
     def put(field, value):
         return field.at[slot].set(value)
 
+    def splice_cache(pool, sub_c):
+        # Works for both raw-array and int8-dict caches (leaf-wise splice).
+        return jax.tree_util.tree_map(
+            lambda p, s: p.at[:, slot].set(s[:, 0]), pool, sub_c
+        )
+
     new_state = DecodeState(
         tick=state.tick,
         token=put(state.token, sub.token[0]),
         hidden=put(state.hidden, sub.hidden[0].astype(state.hidden.dtype)),
-        k_cache=state.k_cache.at[:, slot].set(sub.k_cache[:, 0]),
-        v_cache=state.v_cache.at[:, slot].set(sub.v_cache[:, 0]),
+        k_cache=splice_cache(state.k_cache, sub.k_cache),
+        v_cache=splice_cache(state.v_cache, sub.v_cache),
         presence=put(state.presence, sub.presence[0]),
         eos=put(state.eos, sub.eos[0]),
         num_gen=put(state.num_gen, sub.num_gen[0]),
@@ -135,7 +141,8 @@ class ContinuousBatchingEngine:
         s_max = self.prefill_bucket + max_new_tokens
         from qwen_tts_tpu.models.talker import alloc_kv_cache
 
-        kc, vc = alloc_kv_cache(cfg, b, s_max, dtype)
+        kc, vc = alloc_kv_cache(cfg, b, s_max, dtype,
+                                kv_int8=getattr(model, "kv_int8", False))
         self._state = DecodeState(
             tick=jnp.int32(0),
             token=jnp.zeros((b,), jnp.int32),
@@ -259,6 +266,7 @@ class ContinuousBatchingEngine:
             max_cache_len=self.prefill_bucket + self.max_new_tokens,
             rng=jax.random.fold_in(jax.random.PRNGKey(params.seed),
                                    self.stats["requests"]),
+            kv_int8=getattr(self.model, "kv_int8", False),
         )
         # Fixed-shape trailing row (pad with the prompt's tts_pad embed, which
         # is what the trailing buffer's overflow rows must hold).

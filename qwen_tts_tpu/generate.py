@@ -460,7 +460,7 @@ def _segment_loop(body, state: DecodeState, segment: int, step_limit, g: int):
 @partial(
     jax.jit,
     static_argnames=("talker_cfg", "sampling", "st_sampling", "max_cache_len",
-                     "first_segment"),
+                     "first_segment", "kv_int8"),
 )
 def init_decode(
     talker_params: dict,
@@ -478,6 +478,7 @@ def init_decode(
     step_limit: Optional[jnp.ndarray] = None,
     vec_sampling: Optional[VecSampling] = None,
     st_vec_sampling: Optional[VecSampling] = None,
+    kv_int8: bool = False,
 ):
     """Prefill + first-token sample; returns the carried decode state.
 
@@ -492,7 +493,7 @@ def init_decode(
     b, s, _ = inputs_embeds.shape
     cache_dtype = talker_params["norm"].dtype
     k_cache, v_cache = talker_mod.alloc_kv_cache(
-        talker_cfg, b, max_cache_len, cache_dtype
+        talker_cfg, b, max_cache_len, cache_dtype, kv_int8=kv_int8
     )
     pre = talker_mod.talker_prefill(
         talker_params, talker_cfg, inputs_embeds, pad_mask, k_cache, v_cache
@@ -586,6 +587,7 @@ def generate_codes(
     max_new_tokens: int,
     rng: jax.Array,
     trim_last_on_budget: bool = True,
+    kv_int8: bool = False,
 ) -> GenOutput:
     """Prefill + full AR loop — ONE device program (fused init + segment).
 
@@ -598,7 +600,7 @@ def generate_codes(
         talker_params, st_params, talker_cfg, inputs_embeds, pad_mask,
         sampling=sampling, st_sampling=st_sampling,
         max_cache_len=s + max_new_tokens, rng=rng,
-        first_segment=max_new_tokens, trailing=trailing,
+        first_segment=max_new_tokens, trailing=trailing, kv_int8=kv_int8,
     )
     # Budget-exhausted rows lose their final frame: the reference expands a
     # step's code groups lazily at the NEXT talker forward, so when generation

@@ -229,13 +229,29 @@ def chunked_decode(
     chunk_size: int = 300,
     left_context_size: int = 25,
     decode_fn=None,
+    max_batch: int = 0,
 ) -> jnp.ndarray:
     """Reference chunking (modeling_qwen3_tts_tokenizer_v2.py:886-896): decode
     ``chunk_size`` frames at a time, re-decoding ``left_context_size`` frames
     of context whose audio is discarded. Chunk shapes are static per
-    (context, chunk) pair so XLA compiles at most two program shapes."""
+    (context, chunk) pair so XLA compiles at most two program shapes.
+
+    ``max_batch`` > 0 additionally splits the batch axis into slices of at
+    most that size decoded sequentially. Vocoder activations are the
+    large-batch HBM peak (~3 live [B, T·1920, C_last] buffers — b96×128f is
+    ~13 GiB, the round-2 serving-batch OOM), and unlike shorter chunks a
+    batch split costs ZERO redundant compute (no re-decoded left context) and
+    reuses a single compiled program when slices divide evenly."""
     if decode_fn is None:
         decode_fn = jax.jit(codec_decode, static_argnums=1)
+    b = codes.shape[0]
+    if max_batch and b > max_batch:
+        parts = [
+            chunked_decode(params, cfg, codes[i : i + max_batch],
+                           chunk_size, left_context_size, decode_fn)
+            for i in range(0, b, max_batch)
+        ]
+        return jnp.concatenate(parts, axis=0)
     total_upsample = cfg.total_upsample
     t = codes.shape[1]
     wavs = []

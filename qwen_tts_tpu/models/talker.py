@@ -124,13 +124,28 @@ def talker_prefill(
     last_hidden = hidden[:, -1, :]
     logits = (last_hidden @ params["codec_head"]).astype(jnp.float32)
 
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, ks.astype(k_cache.dtype), (0, 0, 0, 0, 0)
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, vs.astype(v_cache.dtype), (0, 0, 0, 0, 0)
-    )
+    k_cache = _prefill_cache_write(k_cache, ks)
+    v_cache = _prefill_cache_write(v_cache, vs)
     return TalkerPrefillOut(logits, last_hidden, k_cache, v_cache)
+
+
+def _prefill_cache_write(cache, new):  # new: [L, B, S, KV, hd]
+    """Write the prefill's K or V block at position 0 (int8-dict aware)."""
+    if isinstance(cache, dict):
+        from qwen_tts_tpu.ops.attention import quantize_kv
+
+        q8, s = quantize_kv(new)
+        return {
+            "i8": jax.lax.dynamic_update_slice(
+                cache["i8"], q8, (0, 0, 0, 0, 0)
+            ),
+            "s": jax.lax.dynamic_update_slice(
+                cache["s"], s.astype(cache["s"].dtype), (0, 0, 0, 0)
+            ),
+        }
+    return jax.lax.dynamic_update_slice(
+        cache, new.astype(cache.dtype), (0, 0, 0, 0, 0)
+    )
 
 
 def talker_decode_step(
@@ -155,8 +170,16 @@ def talker_decode_step(
 
 
 def alloc_kv_cache(
-    cfg: TalkerConfig, batch: int, max_len: int, dtype=jnp.float32
+    cfg: TalkerConfig, batch: int, max_len: int, dtype=jnp.float32,
+    *, kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Preallocate the fixed-shape talker KV cache.
+
+    ``kv_int8`` switches to the quantized dict form (ops/attention.KVCache):
+    int8 payload + f32 per-token per-head scales ≈ 0.52× the bf16 bytes —
+    the cache is the serving-batch HBM ceiling (b96 OOMs bf16 at flagship
+    dims), so this is the capacity *and* bandwidth lever.
+    """
     shape = (
         cfg.num_hidden_layers,
         batch,
@@ -164,4 +187,11 @@ def alloc_kv_cache(
         cfg.num_key_value_heads,
         cfg.head_dim,
     )
+    if kv_int8:
+        def one():
+            return {
+                "i8": jnp.zeros(shape, jnp.int8),
+                "s": jnp.full(shape[:-1], 1e-8, jnp.float32),
+            }
+        return one(), one()
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

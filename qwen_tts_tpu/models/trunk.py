@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from qwen_tts_tpu.ops.attention import (
     attention_decode_step,
     attention_prefill,
+    quantize_kv,
 )
 from qwen_tts_tpu.ops.norms import rms_norm
 from qwen_tts_tpu.ops.rope import apply_rope
@@ -205,6 +206,37 @@ def trunk_prefill(
     return hidden, ks, vs
 
 
+def _cache_layer(cache, l):
+    """Per-layer view of a stacked KV cache (array or int8 dict)."""
+    if isinstance(cache, dict):
+        return {"i8": cache["i8"][l], "s": cache["s"][l]}
+    return cache[l]
+
+
+def _cache_write_token(cache, l, rows, write_pos, x, b):
+    """Write one token's K or V [B, KV, hd] into a stacked cache at
+    (l, row, write_pos[row]) — int8 dict caches quantize at the write."""
+    if isinstance(cache, dict):
+        q8, s = quantize_kv(x)
+        s = s.astype(cache["s"].dtype)
+        if b == 1:
+            i8 = jax.lax.dynamic_update_slice(
+                cache["i8"], q8[None, :, None], (l, 0, write_pos[0], 0, 0)
+            )
+            sc = jax.lax.dynamic_update_slice(
+                cache["s"], s[None, :, None, :], (l, 0, write_pos[0], 0)
+            )
+        else:
+            i8 = cache["i8"].at[l, rows, write_pos].set(q8)
+            sc = cache["s"].at[l, rows, write_pos].set(s)
+        return {"i8": i8, "s": sc}
+    if b == 1:
+        return jax.lax.dynamic_update_slice(
+            cache, x[None, :, None].astype(cache.dtype), (l, 0, write_pos[0], 0, 0)
+        )
+    return cache.at[l, rows, write_pos].set(x.astype(cache.dtype))
+
+
 def trunk_decode_step(
     params: dict,
     dims: TrunkDims,
@@ -243,23 +275,15 @@ def trunk_decode_step(
         q, k, v = _project_qkv(layer, x, dims)
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
-        if b == 1:
-            # Single row (streaming / prefill-of-one): a contiguous dynamic
-            # slice write is cheaper than a scatter. (Measured: for b>1 the
-            # scatter wins even when all rows share one position — a batched
-            # DUS on the sub-talker micro-decode was 5% slower, 6.05 vs
-            # 5.79 ms/frame at b32.)
-            kc = jax.lax.dynamic_update_slice(
-                kc, k[None, :, None].astype(kc.dtype), (l, 0, write_pos[0], 0, 0)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                vc, v[None, :, None].astype(vc.dtype), (l, 0, write_pos[0], 0, 0)
-            )
-        else:
-            kc = kc.at[l, rows, write_pos].set(k.astype(kc.dtype))
-            vc = vc.at[l, rows, write_pos].set(v.astype(vc.dtype))
+        # Single row (streaming / prefill-of-one): a contiguous dynamic
+        # slice write is cheaper than a scatter. (Measured: for b>1 the
+        # scatter wins even when all rows share one position — a batched
+        # DUS on the sub-talker micro-decode was 5% slower, 6.05 vs
+        # 5.79 ms/frame at b32.)
+        kc = _cache_write_token(kc, l, rows, write_pos, k, b)
+        vc = _cache_write_token(vc, l, rows, write_pos, v, b)
         attn = attention_decode_step(
-            q, kc[l], vc[l],
+            q, _cache_layer(kc, l), _cache_layer(vc, l),
             cur_len=cur_len_b, valid_from=valid_from, sliding_window=sliding_window,
         )
         h = h + _maybe_scale(

@@ -15,11 +15,33 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-1e9)
+
+# A KV cache is either a raw array [..., S, KV, hd] or an int8-quantized dict
+# {"i8": int8[..., S, KV, hd], "s": f32[..., S, KV]} with per-token per-head
+# symmetric scales. The dict form halves cache HBM bytes (capacity AND decode
+# bandwidth); dequant algebra folds into the attention dots so int8 bytes are
+# all that streams (see ``attention_decode_step``). Serving-mode numerics —
+# the TPU analog of breaking the reference C engine's unbounded bf16 cache
+# growth (c/qwen_tts_talker.c:489-496) at the memory wall.
+KVCache = Union[jnp.ndarray, dict]
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-vector symmetric int8 quantization over the last (head_dim) axis.
+
+    x: [..., hd] → (int8 [..., hd], scale f32 [...]). int8 values are exactly
+    representable in bf16, so the dequant-in-dot path loses nothing beyond
+    the quantization itself.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
+    q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return q, scale
 
 
 def attention_prefill(
@@ -70,8 +92,8 @@ def attention_prefill(
 
 def attention_decode_step(
     q: jnp.ndarray,        # [B, H, hd] single new token (post-RoPE)
-    k_cache: jnp.ndarray,  # [B, S_max, KV, hd] (already contains the new k)
-    v_cache: jnp.ndarray,  # [B, S_max, KV, hd]
+    k_cache: KVCache,      # [B, S_max, KV, hd] (already contains the new k)
+    v_cache: KVCache,      # [B, S_max, KV, hd]
     *,
     cur_len: jnp.ndarray,  # int32 scalar or [B]: row b's valid region is [0, cur_len_b)
     valid_from: Optional[jnp.ndarray] = None,  # [B] first real position (left pad)
@@ -85,18 +107,29 @@ def attention_decode_step(
     masked by position rather than sliced, so the jitted shape never changes.
     Per-row ``cur_len`` supports continuous batching (slots at different
     sequence positions share one program).
+
+    With int8 dict caches the per-token scales fold into the dots exactly:
+    ``q·k = (q·k_i8)·k_s`` and ``Σ_j p_j v_j = Σ_j (p_j v_s_j) v_i8_j`` — no
+    dequantized cache copy ever materializes in HBM.
     """
+    kv_int8 = isinstance(k_cache, dict)
+    k_raw = k_cache["i8"] if kv_int8 else k_cache
     b, h, hd = q.shape
-    s_max = k_cache.shape[1]
-    kv = k_cache.shape[2]
+    s_max = k_raw.shape[1]
+    kv = k_raw.shape[2]
     groups = h // kv
     if scale is None:
         scale = hd ** -0.5
 
     qg = q.reshape(b, kv, groups, hd)
     scores = jnp.einsum(
-        "bkgd,bjkd->bkgj", qg, k_cache, preferred_element_type=jnp.float32
+        "bkgd,bjkd->bkgj", qg, k_raw.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * jnp.float32(scale)
+    if kv_int8:
+        # k_s: [B, S, KV] → [B, KV, 1, S] (broadcast over query groups).
+        k_s = jnp.transpose(k_cache["s"], (0, 2, 1))[:, :, None, :]
+        scores = scores * k_s
 
     cur_len_b = jnp.broadcast_to(jnp.asarray(cur_len), (b,))
     j_idx = jnp.arange(s_max)
@@ -109,10 +142,18 @@ def attention_decode_step(
 
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    out = jnp.einsum(
-        "bkgj,bjkd->bkgd", probs.astype(v_cache.dtype), v_cache,
-        preferred_element_type=jnp.float32,
-    )
+    if kv_int8:
+        v_s = jnp.transpose(v_cache["s"], (0, 2, 1))[:, :, None, :]
+        out = jnp.einsum(
+            "bkgj,bjkd->bkgd", (probs * v_s).astype(q.dtype),
+            v_cache["i8"].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum(
+            "bkgj,bjkd->bkgd", probs.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+        )
     return out.reshape(b, h, hd).astype(q.dtype)
 
 

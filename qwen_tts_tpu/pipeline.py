@@ -44,12 +44,12 @@ _HARD_DEFAULTS = dict(
 @partial(
     jax.jit,
     static_argnames=("talker_cfg", "dec_cfg", "sampling", "st_sampling",
-                     "max_cache_len", "first_segment"),
+                     "max_cache_len", "first_segment", "kv_int8"),
 )
 def _first_packet_program(
     talker_params, st_params, codec_params, talker_cfg, dec_cfg,
     embeds, mask, trailing, *, sampling, st_sampling, max_cache_len, rng,
-    first_segment, step_limit,
+    first_segment, step_limit, kv_int8=False,
 ):
     """Prefill + first decode segment + codec decode of that segment as ONE
     device program. Over the axon tunnel every dispatch costs ~20-25 ms, so
@@ -62,7 +62,7 @@ def _first_packet_program(
         sampling=sampling, st_sampling=st_sampling,
         max_cache_len=max_cache_len, rng=rng,
         first_segment=first_segment, trailing=trailing,
-        step_limit=step_limit,
+        step_limit=step_limit, kv_int8=kv_int8,
     )
     window = jnp.maximum(seg[:, :first_segment, : dec_cfg.num_quantizers], 0)
     wav = codec_mod.codec_decode(codec_params, dec_cfg, window)
@@ -89,6 +89,7 @@ class Qwen3TTSModel:
         self.speaker_params = speaker_params
         self.tokenizer = tokenizer
         self.generate_defaults = generate_defaults or {}
+        self.kv_int8 = False  # opt-in via quantize_for_serving(kv=True)
         self.model_dir: Optional[str] = None
         self._speech_encoder = None
         self._codec_decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
@@ -140,13 +141,19 @@ class Qwen3TTSModel:
         obj.model_dir = model_dir
         return obj
 
-    def quantize_for_serving(self, *, talker: bool = False) -> "Qwen3TTSModel":
+    def quantize_for_serving(self, *, talker: bool = False,
+                             kv: bool = False) -> "Qwen3TTSModel":
         """Opt-in int8 weight quantization of the decode hot path (the
         sub-talker trunk is re-streamed from HBM G× per frame; int8 halves
         that traffic — measured 1.8× on the micro-decode, ~1.5× end-to-end at
         b32 on v5e). Changes numerics (int8 rounding), so greedy token traces
         are no longer bit-identical to the bf16 path — a serving-throughput
-        mode, not the parity default. In-place; returns self."""
+        mode, not the parity default. In-place; returns self.
+
+        ``kv=True`` additionally stores the talker KV cache int8 (per-token
+        per-head scales, ops/attention.quantize_kv): ~0.52× cache HBM bytes —
+        the cache is the serving-batch capacity ceiling (bf16 b96 OOMs at
+        flagship dims) and ~1.3 ms of the per-frame budget."""
         from qwen_tts_tpu.models.subtalker import (
             quantize_subtalker_tables_int8,
         )
@@ -164,6 +171,8 @@ class Qwen3TTSModel:
             self.talker_params["trunk"] = quantize_trunk_int8(
                 self.talker_params["trunk"]
             )
+        if kv:
+            self.kv_int8 = True
         return self
 
     # ------------------------------------------------------------------
@@ -252,6 +261,7 @@ class Qwen3TTSModel:
             max_new_tokens=params.max_new_tokens,
             rng=jax.random.PRNGKey(params.seed),
             trim_last_on_budget=trim_last_on_budget,
+            kv_int8=self.kv_int8,
         )
         codes = np.asarray(out.codes)
         num_gen = np.asarray(out.num_gen)
@@ -544,6 +554,7 @@ class Qwen3TTSModel:
             rng=jax.random.PRNGKey(params.seed),
             first_segment=first_segment,
             step_limit=step_limit,
+            kv_int8=self.kv_int8,
         )
 
         history = np.zeros((0, nq), np.int32)

@@ -40,7 +40,7 @@ def _tensor_bytes(st, prefix: str, bytes_per_elem: float) -> int:
 
 
 def estimate(model_dir: str, *, batch: int, max_new_tokens: int,
-             prefill: int, serving: bool) -> dict:
+             prefill: int, serving: bool, kv_int8: bool = False) -> dict:
     from qwen_tts_tpu.config import TTSConfig
     from qwen_tts_tpu.io.safetensors import MultiSafeTensors
 
@@ -72,10 +72,13 @@ def estimate(model_dir: str, *, batch: int, max_new_tokens: int,
         finally:
             cst.close()
 
-    # KV caches at the serving shape (2 = K and V, bf16).
+    # KV caches at the serving shape (2 = K and V). kv_int8
+    # (quantize_for_serving(kv=True)) stores int8 payload + one f32 scale per
+    # (token, head): hd + 4 bytes per hd-vector instead of 2*hd.
     cache_len = prefill + max_new_tokens
+    kv_vec_bytes = (tk.head_dim + 4) if kv_int8 else (tk.head_dim * 2)
     talker_kv = (2 * tk.num_hidden_layers * batch * cache_len
-                 * tk.num_key_value_heads * tk.head_dim * 2)
+                 * tk.num_key_value_heads * kv_vec_bytes)
     # Sub-talker cache is G positions deep, alive only inside the micro-scan.
     sub_kv = (2 * cp.num_hidden_layers * batch * tk.num_code_groups
               * cp.num_key_value_heads * cp.head_dim * 2)
@@ -112,12 +115,14 @@ def main() -> int:
                    help="usable HBM budget (v5e chip default)")
     p.add_argument("--serving", action="store_true",
                    help="int8 serving dtype policy (quantize_for_serving)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 talker KV cache (quantize_for_serving(kv=True))")
     args = p.parse_args()
 
     report = estimate(
         args.model_dir, batch=args.batch,
         max_new_tokens=args.max_new_tokens, prefill=args.prefill,
-        serving=args.serving,
+        serving=args.serving, kv_int8=args.kv_int8,
     )
     report["hbm_budget_gib"] = args.hbm_gib
     report["fits"] = report["total_gib"] <= args.hbm_gib

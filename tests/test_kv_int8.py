@@ -1,0 +1,167 @@
+"""int8 KV cache (serving mode): dequant-algebra identity, bounded drift,
+greedy-trace delta documentation, and continuous-engine parity under the
+quantized cache.
+
+Contract (mirrors the int8 trunk-weight contract in test_quantized_trunk.py):
+``quantize_for_serving(kv=True)`` changes numerics — greedy traces are NOT
+bit-identical to the bf16-cache path (int8 rounding on every cached K/V
+vector). What must hold instead:
+
+* the attention math is *exactly* the dequantized-cache math (scale algebra
+  folds into the dots — no approximation beyond quantization itself),
+* per-step activation drift stays at int8 rounding scale,
+* all engines using the same cache format agree token-exactly (continuous
+  batching == one-shot generate, same as the bf16 proofs in
+  test_continuous.py).
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ckpt_fixture import make_checkpoint
+from qwen_tts_tpu.config import tiny_tts_config
+from qwen_tts_tpu.generate import GenerationParams, build_prompt, generate_codes
+from qwen_tts_tpu.models import subtalker as st_mod
+from qwen_tts_tpu.models import talker as talker_mod
+from qwen_tts_tpu.ops.attention import attention_decode_step, quantize_kv
+
+
+def test_attention_int8_equals_dequantized_cache():
+    """The int8-dict decode attention must be EXACTLY the attention over the
+    explicitly dequantized cache (the scales fold into the dots)."""
+    rng = jax.random.PRNGKey(0)
+    b, s, kv, h, hd = 3, 16, 2, 4, 8
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (b, h, hd))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, s, kv, hd))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, kv, hd))
+    cur = jnp.asarray([5, 16, 9], jnp.int32)
+
+    ki, ks = quantize_kv(k)
+    vi, vs = quantize_kv(v)
+    assert ki.dtype == jnp.int8 and ks.shape == (b, s, kv)
+    k_deq = ki.astype(jnp.float32) * ks[..., None]
+    v_deq = vi.astype(jnp.float32) * vs[..., None]
+
+    o_dict = attention_decode_step(
+        q, {"i8": ki, "s": ks}, {"i8": vi, "s": vs}, cur_len=cur
+    )
+    o_deq = attention_decode_step(q, k_deq, v_deq, cur_len=cur)
+    np.testing.assert_allclose(np.asarray(o_dict), np.asarray(o_deq),
+                               atol=2e-6, rtol=2e-6)
+
+    # And the quantization drift vs the fp cache stays at int8 rounding scale.
+    o_fp = attention_decode_step(q, k, v, cur_len=cur)
+    rel = float(jnp.max(jnp.abs(o_dict - o_fp)) / jnp.max(jnp.abs(o_fp)))
+    assert rel < 0.03, rel
+
+
+def _tiny_generate(kv_int8: bool, frames: int = 16):
+    cfg = tiny_tts_config().talker
+    rng = jax.random.PRNGKey(0)
+    tp = talker_mod.init_talker_params(rng, cfg)
+    sp = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 1), cfg.code_predictor, cfg.hidden_size
+    )
+    b, s = 2, 8
+    embeds = jax.random.normal(jax.random.fold_in(rng, 2), (b, s, cfg.hidden_size))
+    mask = jnp.ones((b, s), bool)
+    trailing = jax.random.normal(jax.random.fold_in(rng, 3), (b, 4, cfg.hidden_size))
+    gp = GenerationParams().greedy()
+    out = generate_codes(
+        tp, sp, cfg, embeds, mask, trailing,
+        sampling=gp.talker_sampling(), st_sampling=gp.subtalker_sampling(),
+        max_new_tokens=frames, rng=rng, kv_int8=kv_int8,
+    )
+    return np.asarray(out.codes), np.asarray(out.num_gen)
+
+
+def test_greedy_trace_delta_documented():
+    """Serving-mode numerics: int8 KV greedy traces may diverge from the
+    bf16-cache trace (AR divergence after the first near-tie flip). The
+    decode must still be well-formed: valid token range, per-row budgets
+    respected, and deterministic (same program twice → identical trace)."""
+    c_fp, n_fp = _tiny_generate(False)
+    c_q1, n_q1 = _tiny_generate(True)
+    c_q2, n_q2 = _tiny_generate(True)
+    np.testing.assert_array_equal(c_q1, c_q2)  # deterministic
+    np.testing.assert_array_equal(n_q1, n_q2)
+    cfg = tiny_tts_config().talker
+    assert c_q1.min() >= 0 and c_q1.max() < cfg.vocab_size
+    assert (n_q1 <= 16).all()
+    # Document the delta (this is the numerics-change record the serving
+    # mode promises): on this random tiny model the traces share at least
+    # the first frame before any near-tie flip.
+    first_mismatch = int(np.argmax((c_fp != c_q1).any(axis=-1).any(axis=0))) \
+        if (c_fp != c_q1).any() else c_fp.shape[1]
+    assert first_mismatch >= 1, "int8 KV flipped the very first frame"
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    from qwen_tts_tpu.pipeline import Qwen3TTSModel
+
+    d = tmp_path_factory.mktemp("kv8_ckpt")
+    make_checkpoint(str(d))
+    m = Qwen3TTSModel.from_pretrained(
+        str(d), talker_dtype=jnp.float32, load_tokenizer=False
+    )
+    m.kv_int8 = True
+    return m
+
+
+def test_continuous_engine_kv_int8_matches_solo(model):
+    """Same-format parity: the continuous engine under kv_int8 must be
+    token-exact vs one-shot generate under kv_int8 (pad-independence of the
+    per-token quantization + masked attention)."""
+    from qwen_tts_tpu.continuous import ContinuousBatchingEngine
+
+    ids1 = [1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3]
+    ids2 = [1, 2, 3, 20, 21, 22, 23, 24, 4, 5, 1, 2, 3]
+    prompts = [
+        build_prompt(model.talker_params, model.cfg, np.asarray(i, np.int32),
+                     language="english", speaker="aiden",
+                     st_params=model.subtalker_params)
+        for i in (ids1, ids2)
+    ]
+    params = GenerationParams(
+        max_new_tokens=7, min_new_tokens=7,
+        do_sample=False, subtalker_do_sample=False, repetition_penalty=1.0,
+    )
+    solo = [model.generate_codes_from_prompts([p], params)[0][0]
+            for p in prompts]
+    assert all(c.shape[0] == 6 for c in solo)
+
+    engine = ContinuousBatchingEngine(
+        model, num_slots=3, segment_frames=2, max_new_tokens=16,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        fut1 = engine.submit_prompt(prompts[0], params)
+        time.sleep(0.3)
+        fut2 = engine.submit_prompt(prompts[1], params)
+        wav1 = fut1.result(timeout=300)
+        wav2 = fut2.result(timeout=300)
+    finally:
+        engine.stop()
+    want1, want2 = model.decode_codes(solo)
+    np.testing.assert_allclose(wav1, want1, atol=1e-5)
+    np.testing.assert_allclose(wav2, want2, atol=1e-5)
+
+
+def test_alloc_kv_cache_int8_halves_bytes():
+    cfg = tiny_tts_config().talker
+    kc, vc = talker_mod.alloc_kv_cache(cfg, 4, 64, jnp.bfloat16)
+    kc8, vc8 = talker_mod.alloc_kv_cache(cfg, 4, 64, jnp.bfloat16, kv_int8=True)
+
+    def nbytes(c):
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(c))
+
+    ratio = nbytes(kc8) / nbytes(kc)
+    # int8 payload + f32/hd scale: 0.5 + 4/(2*hd) of bf16.
+    assert ratio < 0.65, ratio
+    assert kc8["i8"].shape == kc.shape
