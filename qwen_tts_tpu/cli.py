@@ -187,8 +187,17 @@ def main(argv=None) -> int:
         t_codec = time.perf_counter()
         if ref_codes is not None:
             # ICL: ref codes lead the codec decode, their audio is cut
-            # (qwen3_tts_model.py:612-631).
+            # (qwen3_tts_model.py:612-631). Width-sliced to the talker's
+            # group count like the serving engines (generated codes have
+            # num_code_groups columns; the merge needs equal widths).
             rc = np.asarray(ref_codes, np.int32)
+            groups = model.cfg.talker.num_code_groups
+            if rc.shape[1] < groups:
+                raise SystemExit(
+                    f"ref codes have {rc.shape[1]} groups, talker emits "
+                    f"{groups} — incompatible voice file for this model"
+                )
+            rc = rc[:, :groups]
             merged = np.concatenate([rc, codes[0]], axis=0)
             up = model.cfg.codec.decode_upsample_rate
             wav = model.decode_codes([merged])[0][rc.shape[0] * up:]

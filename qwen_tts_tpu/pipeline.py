@@ -403,7 +403,14 @@ class Qwen3TTSModel:
 
         def col(name, default):
             v = p.get(name)
-            return v[index] if v else default
+            if not v:
+                return default
+            if index >= len(v):
+                raise ValueError(
+                    f"voice_clone_prompt[{name!r}] has {len(v)} item(s); "
+                    f"index {index} out of range"
+                )
+            return v[index]
 
         spk = col("ref_spk_embedding", None)
         icl = col("icl_mode", True)
@@ -459,11 +466,22 @@ class Qwen3TTSModel:
         texts = _as_list(text)
         languages = _broadcast(_as_list(language), len(texts))
         n = len(texts)
-        ref_code = voice_clone_prompt.get("ref_code") or [None] * n
-        spk = voice_clone_prompt.get("ref_spk_embedding") or [None] * n
-        icl = voice_clone_prompt.get("icl_mode") or [True] * n
-        xvec_only = voice_clone_prompt.get("x_vector_only_mode") or [False] * n
-        ref_texts = voice_clone_prompt.get("ref_text") or [None] * n
+        # A single prompt item broadcasts over all texts; otherwise lengths
+        # must match (reference: qwen3_tts_model.py:570-586 repeats
+        # prompt_items * len(texts) and errors on a mismatch).
+        n_items = max(
+            (len(v) for v in voice_clone_prompt.values() if v), default=0
+        )
+        if n_items == 1 and n > 1:
+            voice_clone_prompt = {
+                k: (list(v) * n if v else v)
+                for k, v in voice_clone_prompt.items()
+            }
+        elif n_items not in (0, n):
+            raise ValueError(
+                f"voice_clone_prompt has {n_items} item(s) for {n} text(s) — "
+                "pass one prompt item (broadcast) or exactly one per text"
+            )
 
         speaker_embeds, ref_ids, ref_codes = [], [], []
         for i in range(n):
@@ -529,7 +547,14 @@ class Qwen3TTSModel:
         first_chunk_frames: int = 2,
         chunk_frames: int = 25,
         left_context_frames: int = 25,
+        ref_codes: Optional[np.ndarray] = None,
     ):
+        """``ref_codes`` (ICL voice clone) seed the codec code history as
+        already-emitted frames: they condition every chunk's codec left
+        context but their audio is never emitted — the streaming analog of
+        the reference's ref-code prepend + wav cut
+        (qwen3_tts_model.py:612-631), mirroring
+        ContinuousBatchingEngine._admit."""
         if self.codec_params is None:
             raise RuntimeError("codec decoder weights not loaded")
         dec_cfg = self.cfg.codec.decoder
@@ -557,8 +582,12 @@ class Qwen3TTSModel:
             kv_int8=self.kv_int8,
         )
 
-        history = np.zeros((0, nq), np.int32)
-        emitted = 0
+        if ref_codes is not None:
+            history = np.asarray(ref_codes, np.int32)[:, :nq]
+        else:
+            history = np.zeros((0, nq), np.int32)
+        ref_frames = history.shape[0]
+        emitted = ref_frames
         prev_gen = 0
         first = True
         while True:
@@ -588,7 +617,7 @@ class Qwen3TTSModel:
                 history = np.concatenate(
                     [history, seg_h[0, :fresh, :nq]], axis=0
                 )
-                if first:
+                if first and ref_frames == 0:
                     # Audio came fused with the decode program.
                     wav = wav_h[0, : emit * up]
                 else:

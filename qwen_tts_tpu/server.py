@@ -41,11 +41,48 @@ def _wav_bytes(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(engine, model):
+def make_handler(engine, model, *, voices_dir=None, allow_local_audio=False):
+    """``voices_dir``/``allow_local_audio`` define the endpoint trust model:
+    by default /clone_voice accepts only base64/data-URI or inline-PCM audio
+    and rejects server paths and URLs (a path/URL form would let any HTTP
+    client probe local files or make the server fetch arbitrary URLs —
+    SSRF). 'voice_file' loads are restricted to ``voices_dir`` when set and
+    rejected entirely when not. ``allow_local_audio`` opts back into
+    path/URL forms for trusted localhost-only deployments."""
+    import os
     import threading
 
     voices: dict = {}  # cloned-voice id → voice_clone_prompt dict
     voices_lock = threading.Lock()
+    voices_root = os.path.realpath(voices_dir) if voices_dir else None
+
+    def _check_voice_file(path: str) -> str:
+        if allow_local_audio:
+            return path
+        if voices_root is None:
+            raise ValueError(
+                "'voice_file' loading is disabled — start the server with "
+                "--voices-dir DIR (or --allow-local-audio) to enable it"
+            )
+        real = os.path.realpath(os.path.join(voices_root, path))
+        if not (real == voices_root
+                or real.startswith(voices_root + os.sep)):
+            raise ValueError("'voice_file' must be inside the voices dir")
+        return real
+
+    def _check_audio(audio):
+        if allow_local_audio or not isinstance(audio, str):
+            return audio
+        from qwen_tts_tpu.audio import _is_probably_base64, _is_url
+
+        if _is_url(audio) or (not _is_probably_base64(audio)
+                              and os.path.exists(audio)):
+            raise ValueError(
+                "path/URL audio forms are rejected over HTTP — send base64, "
+                "a data: URI, or {'pcm': [...], 'sample_rate': N} (or start "
+                "the server with --allow-local-audio)"
+            )
+        return audio
 
     class Handler(BaseHTTPRequestHandler):
         # Chunked transfer framing is an HTTP/1.1 feature; the stdlib default
@@ -121,9 +158,11 @@ def make_handler(engine, model):
             serving endpoint)."""
             try:
                 if "voice_file" in req:
-                    prompt = model.load_voice_clone_prompt(req["voice_file"])
+                    prompt = model.load_voice_clone_prompt(
+                        _check_voice_file(req["voice_file"])
+                    )
                 elif "audio" in req:
-                    audio = req["audio"]
+                    audio = _check_audio(req["audio"])
                     if isinstance(audio, dict):
                         import numpy as _np
 
@@ -194,14 +233,27 @@ def make_handler(engine, model):
                 else:
                     self._json(400, {"error": "need 'text' or 'ids'"})
                     return
+                # Client errors (unknown voice/speaker/language, bad ids)
+                # resolve before submission → 400, matching /stream.
+                clone_kw = self._clone_kwargs(req)
+            except (KeyError, ValueError) as exc:
+                self._json(400, {"error": str(exc)})
+                return
+            except Exception as exc:
+                self._json(500, {"error": str(exc)})
+                return
+            try:
                 fut = engine.submit_ids(
                     ids,
                     speaker=req.get("speaker"),
                     language=req.get("language", "auto"),
-                    **self._clone_kwargs(req),
+                    **clone_kw,
                     **self._submit_kwargs(req),
                 )
                 wav = fut.result(timeout=600)
+            except ValueError as exc:
+                self._json(400, {"error": str(exc)})
+                return
             except Exception as exc:
                 self._json(500, {"error": str(exc)})
                 return
@@ -286,7 +338,9 @@ def make_handler(engine, model):
                     if done:
                         return
             else:
-                for wav, _sr in model.stream_from_prompt(prompt, params):
+                for wav, _sr in model.stream_from_prompt(
+                    prompt, params, ref_codes=ref_codes
+                ):
                     yield wav
 
     return Handler
@@ -308,6 +362,12 @@ def main(argv=None) -> int:
                    help="prefill bucket, or comma list e.g. 64,256 (long "
                         "ICL clone prompts pad to the smallest fitting "
                         "bucket; one compiled prefill program per bucket)")
+    p.add_argument("--voices-dir", default=None,
+                   help="directory 'voice_file' loads are restricted to "
+                        "(disabled when unset — see make_handler trust model)")
+    p.add_argument("--allow-local-audio", action="store_true",
+                   help="accept server-path/URL audio + arbitrary voice_file "
+                        "paths over HTTP (trusted localhost deployments only)")
     args = p.parse_args(argv)
 
     from qwen_tts_tpu.pipeline import Qwen3TTSModel
@@ -333,8 +393,11 @@ def main(argv=None) -> int:
             model, max_batch=args.batch, max_wait_ms=args.max_wait_ms,
             max_new_tokens=args.max_tokens,
         ).start()
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(engine, model))
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(engine, model, voices_dir=args.voices_dir,
+                     allow_local_audio=args.allow_local_audio),
+    )
     print(f"qwen-tts-serve listening on {args.host}:{args.port}",
           file=sys.stderr)
     try:

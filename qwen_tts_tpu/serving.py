@@ -116,9 +116,21 @@ class ServingEngine:
             or self.max_new_tokens,
             **gen_kwargs,
         )
-        req = TTSRequest(prompt, params,
-                         ref_codes=None if ref_codes is None
-                         else np.asarray(ref_codes, np.int32))
+        rc = None
+        if ref_codes is not None:
+            # Same width contract as ContinuousBatchingEngine.submit_prompt:
+            # generated codes have num_code_groups columns, so ICL context
+            # must be sliced to match before the merge (a mismatch would
+            # otherwise crash the worker thread with an opaque shape error).
+            rc = np.asarray(ref_codes, np.int32)
+            groups = self.model.cfg.talker.num_code_groups
+            if rc.shape[1] < groups:
+                raise ValueError(
+                    f"ref_codes have {rc.shape[1]} groups, talker emits "
+                    f"{groups} — ICL clone serving needs equal widths"
+                )
+            rc = rc[:, :groups]
+        req = TTSRequest(prompt, params, ref_codes=rc)
         self._queue.put(req)
         return req.future
 

@@ -157,10 +157,10 @@ def test_http_clone_voice_roundtrip(model):
             assert w.getframerate() == model.sample_rate
             assert w.getnframes() > 0
 
-        # Unknown voice id is a clean 500 with the error surfaced.
+        # Unknown voice id is a client error → 400, consistent with /stream.
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(port, "/tts", {"text": "hi", "voice": "voice-999"})
-        assert e.value.code == 500
+        assert e.value.code == 400
     finally:
         server.shutdown()
         engine.stop()
@@ -189,6 +189,85 @@ def test_http_instruct_and_non_streaming_fields(model):
             body = r.read()
         with wave.open(io.BytesIO(body)) as w:
             assert w.getnframes() > 0
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+def test_http_trust_model_rejects_paths_and_urls(model, tmp_path):
+    """Default trust model (server.make_handler docstring): no server-path /
+    URL audio, no voice_file outside --voices-dir — the SSRF/local-file-probe
+    surface is closed unless explicitly opted into."""
+    from http.server import ThreadingHTTPServer
+
+    from qwen_tts_tpu.server import make_handler
+    from qwen_tts_tpu.voice_prompt import save_voice_clone_prompt
+
+    wav = (0.1 * np.sin(np.linspace(0, 150, 4800))).astype(np.float32)
+    prompt = model.create_voice_clone_prompt(wav, ref_text="ref")
+    vdir = tmp_path / "voices"
+    vdir.mkdir()
+    save_voice_clone_prompt(prompt, str(vdir / "ok.npz"))
+    outside = tmp_path / "outside.npz"
+    save_voice_clone_prompt(prompt, str(outside))
+    wav_path = tmp_path / "ref.wav"
+    import wave as _wave
+    pcm = np.clip(wav * 32767, -32768, 32767).astype("<i2")
+    with _wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(24000)
+        w.writeframes(pcm.tobytes())
+
+    engine = ServingEngine(model, max_batch=2, max_wait_ms=5,
+                           max_new_tokens=3).start()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(engine, model, voices_dir=str(vdir)),
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # Server-side file path as 'audio' → 400.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/clone_voice", {"audio": str(wav_path)})
+        assert e.value.code == 400
+        # URL as 'audio' → 400.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/clone_voice",
+                  {"audio": "http://169.254.169.254/latest"})
+        assert e.value.code == 400
+        # voice_file escaping the voices dir → 400.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/clone_voice",
+                  {"voice_file": "../outside.npz"})
+        assert e.value.code == 400
+        # voice_file inside the voices dir → OK.
+        with _post(port, "/clone_voice", {"voice_file": "ok.npz"}) as r:
+            assert "voice" in json.load(r)
+        # base64 audio still works under the restricted trust model.
+        with _post(port, "/clone_voice", {
+            "audio": _wav_b64(wav, 24000), "ref_text": "ref",
+        }) as r:
+            assert "voice" in json.load(r)
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+def test_http_voice_file_disabled_without_voices_dir(model, tmp_path):
+    from http.server import ThreadingHTTPServer
+
+    from qwen_tts_tpu.server import make_handler
+
+    engine = ServingEngine(model, max_batch=2, max_wait_ms=5,
+                           max_new_tokens=3).start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(engine, model))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/clone_voice", {"voice_file": "/etc/passwd"})
+        assert e.value.code == 400
     finally:
         server.shutdown()
         engine.stop()

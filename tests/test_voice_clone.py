@@ -80,3 +80,24 @@ def test_x_vector_only_mode(model):
         max_new_tokens=3, do_sample=False, subtalker_dosample=False,
     )
     assert len(wavs) == 1
+
+
+def test_generate_voice_clone_broadcasts_single_prompt(model):
+    """One prompt item over N texts broadcasts (reference repeats
+    prompt_items * len(texts), qwen3_tts_model.py:570-586); a 2-vs-3
+    mismatch raises a clear ValueError instead of an IndexError."""
+    wav = (0.1 * np.sin(np.linspace(0, 150, 4800))).astype(np.float32)
+    prompt = model.create_voice_clone_prompt(wav, ref_text="ref")
+    wavs, sr = model.generate_voice_clone(
+        ["hi there", "second text"], voice_clone_prompt=prompt,
+        max_new_tokens=4, do_sample=False, subtalker_dosample=False,
+    )
+    assert len(wavs) == 2
+    assert all(w.size > 0 for w in wavs)
+
+    two = {k: (list(v) * 2 if v else v) for k, v in prompt.items()}
+    with pytest.raises(ValueError, match="2 item"):
+        model.generate_voice_clone(
+            ["a", "b", "c"], voice_clone_prompt=two,
+            max_new_tokens=4, do_sample=False, subtalker_dosample=False,
+        )
