@@ -23,7 +23,7 @@ import dataclasses
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import CancelledError, Future
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -99,6 +99,13 @@ class _SlotRequest:
     # the reference's ref-code prepend + wav cut (qwen3_tts_model.py:612-631).
     ref_codes: Optional[np.ndarray] = None
     ref_frames: int = 0
+    # Robustness: client-driven cancellation + per-request wall deadline.
+    # A cancelled/expired slot is reclaimed at the next segment boundary
+    # (its per-row frame budget is zeroed so the compiled program stops
+    # spending device time on it) — a disconnect never holds a slot for its
+    # full budget.
+    cancelled: bool = False
+    deadline: Optional[float] = None
 
 
 class ContinuousBatchingEngine:
@@ -170,6 +177,7 @@ class ContinuousBatchingEngine:
         self._static_sampling = (SamplingConfig(), SamplingConfig())
 
         self._queue: "queue.Queue[Optional[_SlotRequest]]" = queue.Queue()
+        self._req_by_future: Dict[int, _SlotRequest] = {}
         self._running = False
         self._worker = threading.Thread(target=self._run, daemon=True)
 
@@ -189,7 +197,9 @@ class ContinuousBatchingEngine:
 
     def submit_prompt(self, prompt: Prompt, params: GenerationParams,
                       stream_callback=None,
-                      ref_codes=None) -> "Future[np.ndarray]":
+                      ref_codes=None,
+                      timeout_s: Optional[float] = None
+                      ) -> "Future[np.ndarray]":
         if prompt.embeds.shape[0] > self.prefill_bucket:
             raise ValueError(
                 f"prompt length {prompt.embeds.shape[0]} exceeds the engine's "
@@ -198,6 +208,8 @@ class ContinuousBatchingEngine:
         if prompt.trailing_text.shape[0] + 1 > self.trailing_cap:
             raise ValueError("trailing text exceeds trailing_cap")
         req = _SlotRequest(prompt, params, stream_callback=stream_callback)
+        if timeout_s is not None:
+            req.deadline = time.monotonic() + timeout_s
         if ref_codes is not None:
             rc = np.asarray(ref_codes, np.int32)
             groups = self.model.cfg.talker.num_code_groups
@@ -208,8 +220,19 @@ class ContinuousBatchingEngine:
                 )
             req.ref_codes = rc[:, :groups]
             req.ref_frames = rc.shape[0]
+        self._req_by_future[id(req.future)] = req
         self._queue.put(req)
         return req.future
+
+    def cancel(self, future: "Future[np.ndarray]") -> bool:
+        """Cancel a submitted request (queued or mid-decode). The slot is
+        reclaimed at the next segment boundary and the future resolves with
+        CancelledError. Returns False for unknown/finished futures."""
+        req = self._req_by_future.get(id(future))
+        if req is None or req.future.done():
+            return False
+        req.cancelled = True
+        return True
 
     def submit_text(self, text: str, speaker=None, language="auto",
                     **gen_kwargs) -> "Future[np.ndarray]":
@@ -220,7 +243,7 @@ class ContinuousBatchingEngine:
     def submit_ids(self, ids, speaker=None, language="auto", *,
                    speaker_embed=None, ref_ids=None, ref_codes=None,
                    instruct_ids=None, non_streaming=False,
-                   stream_callback=None, **gen_kwargs
+                   stream_callback=None, timeout_s=None, **gen_kwargs
                    ) -> "Future[np.ndarray]":
         """Full prompt-schema surface (custom voice / voice design /
         voice clone incl. ICL) — mirrors ServingEngine.submit_ids."""
@@ -239,7 +262,7 @@ class ContinuousBatchingEngine:
         )
         return self.submit_prompt(prompt, params,
                                   stream_callback=stream_callback,
-                                  ref_codes=ref_codes)
+                                  ref_codes=ref_codes, timeout_s=timeout_s)
 
     # -- internals ---------------------------------------------------------
 
@@ -319,9 +342,26 @@ class ContinuousBatchingEngine:
         req.emitted_frames = total
         req.stream_callback(wav, done)
 
+    def _abort(self, slot: int, exc: Exception) -> None:
+        """Reclaim a cancelled/expired slot: zero its frame budget (the
+        compiled segment program stops spending device time on the row) and
+        resolve its future with ``exc``. Other slots are untouched."""
+        req = self._slot_req.pop(slot)
+        self._slot_codes.pop(slot, None)
+        self._limits = self._limits.at[slot].set(0)
+        self._req_by_future.pop(id(req.future), None)
+        if req.stream_callback is not None:
+            try:
+                req.stream_callback(np.zeros((0,), np.float32), True)
+            except Exception:
+                pass
+        if not req.future.done():
+            req.future.set_exception(exc)
+
     def _finish(self, slot: int) -> None:
         req = self._slot_req.pop(slot)
         codes = self._slot_codes.pop(slot)
+        self._req_by_future.pop(id(req.future), None)
         try:
             merged = (np.concatenate(codes, axis=0) if codes
                       else np.zeros((0, self.model.cfg.talker.num_code_groups),
@@ -349,11 +389,28 @@ class ContinuousBatchingEngine:
                 if req is None:
                     return
                 block = False
+                if req.cancelled:
+                    self._req_by_future.pop(id(req.future), None)
+                    if not req.future.done():
+                        req.future.set_exception(CancelledError())
+                    continue
                 try:
                     self._admit(free.pop(0), req)
                 except Exception as exc:
+                    # Poisoned request: resolve its future, keep serving.
+                    self._req_by_future.pop(id(req.future), None)
                     if not req.future.done():
                         req.future.set_exception(exc)
+            # Reap cancelled/expired slots BEFORE spending a segment on them.
+            now = time.monotonic()
+            for slot, req in list(self._slot_req.items()):
+                if req.cancelled:
+                    self._abort(slot, CancelledError())
+                elif req.deadline is not None and now > req.deadline:
+                    self._abort(slot, TimeoutError(
+                        "request exceeded its deadline (timeout_s) after "
+                        f"{sum(c.shape[0] for c in self._slot_codes.get(slot, []))}"
+                        " generated frames"))
             if not self._slot_req:
                 continue
 

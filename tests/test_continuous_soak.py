@@ -93,3 +93,71 @@ def test_mixed_load_soak(model):
         assert engine.stats["requests"] == 10
     finally:
         engine.stop()
+
+
+def test_chaos_soak_with_cancels_and_poison(model):
+    """Soak with failure injection: cancels mid-flight, per-request
+    timeouts, and a poisoned request interleaved with greedy parity rows —
+    surviving rows stay byte-equal to solo, nothing stalls."""
+    from concurrent.futures import CancelledError
+
+    from qwen_tts_tpu.generate import GenerationParams, Prompt
+
+    want_cv, _ = model.generate_custom_voice(
+        "alpha", "aiden", "english", max_new_tokens=4, **GREEDY
+    )
+
+    def ids(text):
+        return model._tokenize(model.build_assistant_text(text))
+
+    engine = ContinuousBatchingEngine(
+        model, num_slots=3, segment_frames=2, max_new_tokens=32,
+        prefill_bucket=128,
+    ).start()
+    try:
+        parity = engine.submit_ids(
+            ids("alpha"), speaker="aiden", language="english",
+            max_new_tokens=4, **GREEDY,
+        )
+        doomed = [
+            engine.submit_ids(ids(f"doomed {i}"), speaker="serena",
+                              language="auto", max_new_tokens=32,
+                              do_sample=True, seed=i)
+            for i in range(3)
+        ]
+        timed = engine.submit_ids(
+            ids("timed"), speaker="serena", language="auto",
+            max_new_tokens=32, do_sample=True, timeout_s=0.01,
+        )
+        bad = engine.submit_prompt(
+            Prompt(np.zeros((4, 9), np.float32),
+                   np.zeros((1, 9), np.float32),
+                   np.zeros((9,), np.float32)),
+            GenerationParams(max_new_tokens=4),
+        )
+        import time as _t
+        _t.sleep(0.4)
+        for f in doomed:
+            engine.cancel(f)
+        survivors = [
+            engine.submit_ids(ids(f"late {i}"), speaker="serena",
+                              language="auto", max_new_tokens=3,
+                              do_sample=True, seed=50 + i)
+            for i in range(3)
+        ]
+
+        np.testing.assert_array_equal(want_cv[0],
+                                      parity.result(timeout=600))
+        for f in doomed:
+            with pytest.raises(CancelledError):
+                f.result(timeout=600)
+        with pytest.raises(TimeoutError):
+            timed.result(timeout=600)
+        with pytest.raises(Exception):
+            bad.result(timeout=600)
+        up = model.cfg.codec.decode_upsample_rate
+        for f in survivors:
+            wav = f.result(timeout=600)
+            assert wav.shape[0] % up == 0 and np.isfinite(wav).all()
+    finally:
+        engine.stop()
