@@ -108,11 +108,31 @@ def main() -> int:
             gaps = np.diff(chunks[1:])
             cadences.append(float(np.mean(gaps)))
 
-    med = sorted(firsts)[len(firsts) // 2]
+    # Dispatch-floor estimate: the first packet is ONE fused device program
+    # (prefill+decode+codec) plus one blocking device→host fetch, each
+    # costing a tunnel round trip (~20-25 ms, CLAUDE.md). Measure the
+    # empty-dispatch round trip directly so the artifact is self-describing:
+    # p50 numbers below ~2×floor are dominated by transport, not compute —
+    # round-over-round regressions must clear that bar before they count.
+    tiny = jax.jit(lambda x: x + 1)
+    _ = float(tiny(jnp.float32(0.0)))  # compile
+    t0 = time.perf_counter()
+    n_probe = 5
+    for i in range(n_probe):
+        float(tiny(jnp.float32(i)))
+    dispatch_ms = (time.perf_counter() - t0) / n_probe * 1e3
+
+    fs = np.sort(np.asarray(firsts)) * 1e3
     report = {
         "mode": "serving_int8_16groups" if args.serving else "bf16_parity",
-        "first_packet_ms_p50": round(med * 1e3, 1),
-        "first_packet_ms_min": round(min(firsts) * 1e3, 1),
+        "n_runs": len(firsts),
+        "first_packet_ms_p50": round(float(np.percentile(fs, 50)), 1),
+        "first_packet_ms_p10": round(float(np.percentile(fs, 10)), 1),
+        "first_packet_ms_p90": round(float(np.percentile(fs, 90)), 1),
+        "first_packet_ms_min": round(float(fs[0]), 1),
+        # one program dispatch + one blocking fetch = ~2 round trips
+        "dispatch_roundtrip_ms": round(dispatch_ms, 1),
+        "dispatch_floor_ms": round(2 * dispatch_ms, 1),
         "first_packet_audio_ms": args.first_frames * 80,
         "steady_chunk_s": round(float(np.median(cadences)), 4) if cadences else None,
         "steady_chunk_audio_s": args.chunk_frames * 0.08,
