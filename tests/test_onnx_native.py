@@ -283,3 +283,174 @@ def test_kaldi_fbank_vs_direct_dft_oracle():
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-4,
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Op-coverage matrix (VERDICT r3 item 9): every encoding variant a
+# torch-exported D-TDNN-style graph may use, each checked against a torch
+# oracle — so the real campplus.onnx is likely to run first try.
+# ---------------------------------------------------------------------------
+
+def _attr_s(name: str, v: bytes) -> bytes:
+    return _ld(5, _ld(1, name.encode()) + _ld(4, v))
+
+
+def _run_case(tmp_path, nodes, inits, inputs, outputs, feeds, want,
+              atol=1e-4):
+    blob = _model(nodes, inits, inputs, outputs)
+    p = tmp_path / "case.onnx"
+    p.write_bytes(blob)
+    m = OnnxModel(str(p))
+    got = m.run(feeds)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(w), atol=atol, rtol=1e-4)
+
+
+def test_op_conv_autopad_same_upper(tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 19)).astype(np.float32)
+    w = (rng.standard_normal((6, 4, 3)) / 3).astype(np.float32)
+    want = torch.nn.functional.conv1d(
+        torch.from_numpy(x), torch.from_numpy(w), padding="same").numpy()
+    _run_case(
+        tmp_path,
+        [_node("Conv", ["x", "w"], ["y"], _attr_s("auto_pad", b"SAME_UPPER"))],
+        [_tensor("w", w)], ["x", "w"], ["y"], {"x": x}, [want],
+    )
+
+
+def test_op_conv2d_pads_strides(tmp_path):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 3, 11, 9)).astype(np.float32)
+    w = (rng.standard_normal((5, 3, 3, 3)) / 5).astype(np.float32)
+    b = rng.standard_normal(5).astype(np.float32)
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=(2, 1), padding=(1, 2)).numpy()
+    _run_case(
+        tmp_path,
+        [_node("Conv", ["x", "w", "b"], ["y"],
+               _attr_ints("pads", [1, 2, 1, 2]),
+               _attr_ints("strides", [2, 1]))],
+        [_tensor("w", w), _tensor("b", b)], ["x", "w", "b"], ["y"],
+        {"x": x}, [want],
+    )
+
+
+def test_op_gemm_transpose_matrix(tmp_path):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    wt = rng.standard_normal((5, 4)).astype(np.float32)   # transB layout
+    c = rng.standard_normal(5).astype(np.float32)
+    # transB=1 (the torch nn.Linear export form) + alpha/beta scaling
+    want = 0.5 * (x @ wt.T) + 2.0 * c
+    _run_case(
+        tmp_path,
+        [_node("Gemm", ["x", "w", "c"], ["y"],
+               _attr_i("transB", 1), _attr_f("alpha", 0.5),
+               _attr_f("beta", 2.0))],
+        [_tensor("w", wt), _tensor("c", c)], ["x", "w", "c"], ["y"],
+        {"x": x}, [want],
+    )
+    # transA=1
+    xa = rng.standard_normal((4, 3)).astype(np.float32)
+    wb = rng.standard_normal((4, 5)).astype(np.float32)
+    want2 = xa.T @ wb
+    _run_case(
+        tmp_path,
+        [_node("Gemm", ["x", "w"], ["y"], _attr_i("transA", 1))],
+        [_tensor("w", wb)], ["x", "w"], ["y"], {"x": xa}, [want2],
+    )
+
+
+def test_op_pooling_variants(tmp_path):
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 3, 17)).astype(np.float32)
+    want = torch.nn.functional.max_pool1d(
+        torch.from_numpy(x), 3, stride=2, padding=1).numpy()
+    _run_case(
+        tmp_path,
+        [_node("MaxPool", ["x"], ["y"], _attr_ints("kernel_shape", [3]),
+               _attr_ints("strides", [2]), _attr_ints("pads", [1, 1]))],
+        [], ["x"], ["y"], {"x": x}, [want],
+    )
+    x2 = rng.standard_normal((1, 2, 8, 10)).astype(np.float32)
+    # ONNX default count_include_pad=0 == torch count_include_pad=False
+    want2 = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x2), 3, stride=2, padding=1,
+        count_include_pad=False).numpy()
+    _run_case(
+        tmp_path,
+        [_node("AveragePool", ["x"], ["y"],
+               _attr_ints("kernel_shape", [3, 3]),
+               _attr_ints("strides", [2, 2]),
+               _attr_ints("pads", [1, 1, 1, 1]))],
+        [], ["x"], ["y"], {"x": x2}, [want2],
+    )
+    want3 = x2.mean(axis=(2, 3), keepdims=True)
+    _run_case(tmp_path, [_node("GlobalAveragePool", ["x"], ["y"])],
+              [], ["x"], ["y"], {"x": x2}, [want3])
+
+
+def test_op_split_slice_concat(tmp_path):
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 10, 4)).astype(np.float32)
+    # Split (attr sizes) -> swap halves -> Concat; Slice with steps
+    want_sw = np.concatenate([x[:, 6:], x[:, :6]], axis=1)
+    _run_case(
+        tmp_path,
+        [_node("Split", ["x"], ["a", "b"], _attr_i("axis", 1),
+               _attr_ints("split", [6, 4])),
+         _node("Concat", ["b", "a"], ["y"], _attr_i("axis", 1))],
+        [], ["x"], ["y"], {"x": x}, [want_sw],
+    )
+    starts = np.asarray([1], np.int64)
+    ends = np.asarray([9], np.int64)
+    axes = np.asarray([1], np.int64)
+    steps = np.asarray([2], np.int64)
+    want_sl = x[:, 1:9:2]
+    _run_case(
+        tmp_path,
+        [_node("Slice", ["x", "st", "en", "ax", "sp"], ["y"])],
+        [_tensor("st", starts), _tensor("en", ends), _tensor("ax", axes),
+         _tensor("sp", steps)],
+        ["x", "st", "en", "ax", "sp"], ["y"], {"x": x}, [want_sl],
+    )
+
+
+def test_op_activations_and_pad(tmp_path):
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 9)).astype(np.float32)
+    slope = np.asarray([0.1, 0.2, 0.3], np.float32).reshape(3, 1)
+    want = np.where(x > 0, x, slope[None] * x)
+    _run_case(tmp_path, [_node("PRelu", ["x", "s"], ["y"])],
+              [_tensor("s", slope)], ["x", "s"], ["y"], {"x": x}, [want])
+    want2 = np.where(x > 0, x, 0.02 * x)
+    _run_case(tmp_path,
+              [_node("LeakyRelu", ["x"], ["y"], _attr_f("alpha", 0.02))],
+              [], ["x"], ["y"], {"x": x}, [want2])
+    pads = np.asarray([0, 0, 2, 0, 0, 3], np.int64)
+    want3 = np.pad(x, [(0, 0), (0, 0), (2, 3)], mode="reflect")
+    _run_case(
+        tmp_path,
+        [_node("Pad", ["x", "p"], ["y"], _attr_s("mode", b"reflect"))],
+        [_tensor("p", pads)], ["x", "p"], ["y"], {"x": x}, [want3],
+    )
+
+
+def test_op_reduce_axes_as_input_opset13(tmp_path):
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 5, 7)).astype(np.float32)
+    axes = np.asarray([-1], np.int64)
+    want = x.mean(axis=-1, keepdims=True)
+    _run_case(
+        tmp_path,
+        [_node("ReduceMean", ["x", "ax"], ["y"])],
+        [_tensor("ax", axes)], ["x", "ax"], ["y"], {"x": x}, [want],
+    )
+    want2 = np.sqrt((x * x).sum(axis=-1, keepdims=True))
+    _run_case(
+        tmp_path,
+        [_node("ReduceL2", ["x", "ax"], ["y"])],
+        [_tensor("ax", axes)], ["x", "ax"], ["y"], {"x": x}, [want2],
+    )
