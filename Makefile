@@ -40,6 +40,14 @@ test-fast:
 validate-eos:
 	$(PY) scripts/validate_eos_parity.py --tiny
 
+# One-command acceptance runbook (real weights: make acceptance MODEL_DIR=...).
+acceptance:
+	@if [ -n "$(MODEL_DIR)" ]; then \
+	  $(PY) scripts/acceptance.py --model-dir $(MODEL_DIR); \
+	else \
+	  $(PY) scripts/acceptance.py --tiny; \
+	fi
+
 # Perf report on the current JAX platform (TPU by default).
 benchmark:
 	$(PY) scripts/benchmark.py

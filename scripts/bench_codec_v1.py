@@ -24,6 +24,8 @@ def main() -> int:
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--split", action="store_true",
+                   help="also time DiT sampling and BigVGAN separately")
     args = p.parse_args()
 
     if args.cpu:
@@ -69,6 +71,33 @@ def main() -> int:
         run(i + 1)
     wall = (time.perf_counter() - t0) / args.runs
 
+    split = {}
+    if args.split:
+        # Stage attribution: DiT Euler sampling vs BigVGAN vocoder.
+        from functools import partial as _p
+
+        dit_fn = jax.jit(_p(v1.dit_sample, num_steps=10), static_argnums=1)
+        big_fn = jax.jit(v1.bigvgan_forward, static_argnums=1)
+
+        def dit_run(seed):
+            mel = dit_fn(params["dit"], cfg.dit, codes, ref_mels, xv,
+                         jax.random.PRNGKey(seed))
+            float(jnp.sum(mel.astype(jnp.float32)))
+            return mel
+
+        mel = dit_run(0)
+        big_fn(params["bigvgan"], cfg.bigvgan, mel)
+        t0 = time.perf_counter()
+        for i in range(args.runs):
+            dit_run(i + 1)
+        split["dit_ms"] = round((time.perf_counter() - t0) / args.runs * 1e3, 1)
+        t0 = time.perf_counter()
+        for _ in range(args.runs):
+            float(jnp.sum(big_fn(params["bigvgan"], cfg.bigvgan, mel
+                                 ).astype(jnp.float32)))
+        split["bigvgan_ms"] = round(
+            (time.perf_counter() - t0) / args.runs * 1e3, 1)
+
     audio_sec = b * t_codes * cfg.decode_upsample_rate / cfg.output_sample_rate
     report = {
         "family": "25hz_v1",
@@ -80,6 +109,7 @@ def main() -> int:
         "rtf": round(audio_sec / wall, 2),
         "ms_per_audio_sec": round(wall * 1e3 / audio_sec, 3),
         "platform": jax.devices()[0].platform,
+        **split,
     }
     print(json.dumps(report, indent=2))
     if report["platform"] != "cpu":
