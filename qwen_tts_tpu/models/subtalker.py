@@ -178,11 +178,18 @@ def subtalker_generate(
     into each dot (rolled loops let XLA hoist + materialize bf16 copies:
     10.9→6.1 ms/frame int8Lu4 vs 9.2 rolled); bf16 weights run fastest with
     the rolled fori/scan (unrolling regressed to 19.1 ms/frame)."""
+    import os
+
     is_int8 = any(k.endswith("_i8") for k in params["trunk"])
     if unroll is None:
-        unroll = 4 if is_int8 else 1
+        # Tuning override (read at trace time): the measured-best default is
+        # shape-dependent at the extremes — b128's unrolled int8 body spills
+        # VMEM the same way the 32-group b64 cliff did (CLAUDE.md ledger).
+        env = os.environ.get("QTTS_ST_UNROLL")
+        unroll = int(env) if env else (4 if is_int8 else 1)
     if unroll_layers is None:
-        unroll_layers = is_int8
+        env = os.environ.get("QTTS_ST_UNROLL_LAYERS")
+        unroll_layers = bool(int(env)) if env else is_int8
     g = cfg.num_code_groups
     dims = subtalker_dims(cfg)
     b = prev_hidden.shape[0]

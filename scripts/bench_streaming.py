@@ -130,9 +130,12 @@ def main() -> int:
         "first_packet_ms_p10": round(float(np.percentile(fs, 10)), 1),
         "first_packet_ms_p90": round(float(np.percentile(fs, 90)), 1),
         "first_packet_ms_min": round(float(fs[0]), 1),
-        # one program dispatch + one blocking fetch = ~2 round trips
+        # The fused prefill+decode+codec program collapses request→audio to
+        # ONE dispatch+blocking-fetch sequence — the probe measures exactly
+        # that pattern, so the floor is one roundtrip (measured p50s sit
+        # ~8 ms of compute above it).
         "dispatch_roundtrip_ms": round(dispatch_ms, 1),
-        "dispatch_floor_ms": round(2 * dispatch_ms, 1),
+        "dispatch_floor_ms": round(dispatch_ms, 1),
         "first_packet_audio_ms": args.first_frames * 80,
         "steady_chunk_s": round(float(np.median(cadences)), 4) if cadences else None,
         "steady_chunk_audio_s": args.chunk_frames * 0.08,
