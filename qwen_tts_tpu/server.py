@@ -324,19 +324,26 @@ def make_handler(engine, model, *, voices_dir=None, allow_local_audio=False):
                     stream_callback=lambda wav, done: chunks.put((wav, done)),
                     ref_codes=ref_codes,
                 )
-                while True:
-                    try:
-                        wav, done = chunks.get(timeout=5.0)
-                    except _q.Empty:
-                        # Slot died without a final callback (its future
-                        # resolves with the exception) — end the stream.
-                        if fut.done():
+                try:
+                    while True:
+                        try:
+                            wav, done = chunks.get(timeout=5.0)
+                        except _q.Empty:
+                            # Slot died without a final callback (its future
+                            # resolves with the exception) — end the stream.
+                            if fut.done():
+                                return
+                            continue
+                        if wav.size:
+                            yield wav
+                        if done:
                             return
-                        continue
-                    if wav.size:
-                        yield wav
-                    if done:
-                        return
+                finally:
+                    # Client disconnect (BrokenPipeError closes the
+                    # generator): reclaim the slot instead of letting it
+                    # decode to its full budget.
+                    if not fut.done() and hasattr(engine, "cancel"):
+                        engine.cancel(fut)
             else:
                 for wav, _sr in model.stream_from_prompt(
                     prompt, params, ref_codes=ref_codes

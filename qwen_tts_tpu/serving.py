@@ -22,8 +22,8 @@ import dataclasses
 import queue
 import threading
 import time
-from concurrent.futures import Future
-from typing import List, Optional
+from concurrent.futures import CancelledError, Future
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -37,6 +37,7 @@ class TTSRequest:
     params: GenerationParams
     future: "Future[np.ndarray]" = dataclasses.field(default_factory=Future)
     enqueued_at: float = dataclasses.field(default_factory=time.perf_counter)
+    cancelled: bool = False
     # Voice clone (ICL): codec codes of the reference audio, prepended before
     # codec decode and cut from the waveform after — the reference's
     # ref-code prepend + proportional wav cut (qwen3_tts_model.py:612-631).
@@ -57,6 +58,7 @@ class ServingEngine:
         self.max_wait_ms = max_wait_ms
         self.max_new_tokens = max_new_tokens
         self._queue: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
+        self._req_by_future: Dict[int, TTSRequest] = {}
         self._held: List[TTSRequest] = []  # params-incompatible, next window
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._running = False
@@ -131,15 +133,39 @@ class ServingEngine:
                 )
             rc = rc[:, :groups]
         req = TTSRequest(prompt, params, ref_codes=rc)
+        self._req_by_future[id(req.future)] = req
         self._queue.put(req)
         return req.future
+
+    def cancel(self, future: "Future[np.ndarray]") -> bool:
+        """Cancel a QUEUED request (resolves with CancelledError at window
+        assembly). A window engine cannot interrupt a request already inside
+        a compiled batch program — for mid-decode cancellation use the
+        continuous engine, whose slots reclaim at segment boundaries."""
+        req = self._req_by_future.get(id(future))
+        if req is None or req.future.done():
+            return False
+        req.cancelled = True
+        return True
 
     # -- worker ------------------------------------------------------------
 
     def _collect_batch(self) -> List[TTSRequest]:
-        first = self._queue.get() if not self._held else self._held.pop(0)
-        if first is None:
-            return []
+        def drop_if_cancelled(req):
+            if req is not None and req.cancelled:
+                self._req_by_future.pop(id(req.future), None)
+                if not req.future.done():
+                    req.future.set_exception(CancelledError())
+                return True
+            return False
+
+        first = None
+        while first is None:
+            first = self._queue.get() if not self._held else self._held.pop(0)
+            if first is None:
+                return []
+            if drop_if_cancelled(first):
+                first = None
         batch = [first]
         deadline = time.perf_counter() + self.max_wait_ms / 1e3
         while len(batch) < self.max_batch:
@@ -151,6 +177,8 @@ class ServingEngine:
                         break
                 if req is None:
                     break  # only incompatible requests held — run what we have
+                if drop_if_cancelled(req):
+                    continue
                 batch.append(req)
                 continue
             timeout = deadline - time.perf_counter()
@@ -162,6 +190,8 @@ class ServingEngine:
                 break
             if req is None:
                 break
+            if drop_if_cancelled(req):
+                continue
             if req.params == first.params:
                 batch.append(req)
             else:
@@ -196,6 +226,7 @@ class ServingEngine:
                 wavs = self.model.decode_codes(merged)
                 up = self.model.cfg.codec.decode_upsample_rate
                 for req, wav, k in zip(batch, wavs, cut):
+                    self._req_by_future.pop(id(req.future), None)
                     req.future.set_result(wav[k * up:])
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1

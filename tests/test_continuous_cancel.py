@@ -144,3 +144,32 @@ def test_streamed_cancel_sends_final_callback(model):
     finally:
         engine.stop()
     assert events and events[-1][1] is True  # stream terminated cleanly
+
+
+def test_window_engine_cancel_queued(model):
+    """ServingEngine (window batching): queued requests cancel cleanly; a
+    request already inside a compiled window cannot be interrupted (the
+    documented contract — use the continuous engine for that)."""
+    from qwen_tts_tpu.serving import ServingEngine
+
+    p = _prompt(model, [1, 2, 3, 10, 11, 4, 5, 1, 2, 3])
+    engine = ServingEngine(model, max_batch=1, max_wait_ms=5,
+                           max_new_tokens=16).start()
+    try:
+        fut1 = engine.submit_ids(
+            np.asarray([1, 2, 3, 10, 11, 4, 5, 1, 2, 3], np.int32),
+            speaker="aiden", language="english",
+            max_new_tokens=16, do_sample=False, subtalker_dosample=False,
+        )
+        fut2 = engine.submit_ids(
+            np.asarray([1, 2, 3, 20, 21, 4, 5, 1, 2, 3], np.int32),
+            speaker="aiden", language="english",
+            max_new_tokens=16, do_sample=False, subtalker_dosample=False,
+        )
+        assert engine.cancel(fut2) is True
+        with pytest.raises(CancelledError):
+            fut2.result(timeout=300)
+        assert fut1.result(timeout=300).shape[0] > 0
+        assert engine.cancel(fut1) is False  # already finished
+    finally:
+        engine.stop()
