@@ -233,5 +233,6 @@ class ServingEngine:
                 self.stats["frames"] += sum(c.shape[0] for c in codes)
             except Exception as exc:  # resolve futures rather than wedging
                 for req in batch:
+                    self._req_by_future.pop(id(req.future), None)
                     if not req.future.done():
                         req.future.set_exception(exc)
