@@ -142,8 +142,16 @@ def _lm_head_logits(params: dict, hidden, head_idx):
 
 
 def alloc_subtalker_cache(
-    cfg: CodePredictorConfig, batch: int, dtype=jnp.float32
+    cfg: CodePredictorConfig, batch: int, dtype=jnp.float32,
+    *, kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame micro-decode KV cache (lives in the scan carry).
+
+    ``kv_int8`` uses the quantized dict form (ops/attention.KVCache) — the
+    sub-talker's attention+cache term is the dominant batch-scaling cost of
+    serving decode (measured 0.87→2.39 ms/frame from b32→b96 at 16 groups,
+    scripts/bench_subtalker_ablate.py), and int8 halves its read traffic at
+    the cost of a quantize per write."""
     shape = (
         cfg.num_hidden_layers,
         batch,
@@ -151,6 +159,13 @@ def alloc_subtalker_cache(
         cfg.num_key_value_heads,
         cfg.head_dim,
     )
+    if kv_int8:
+        def one():
+            return {
+                "i8": jnp.zeros(shape, jnp.int8),
+                "s": jnp.full(shape[:-1], 1e-8, jnp.float32),
+            }
+        return one(), one()
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -166,6 +181,7 @@ def subtalker_generate(
     vec_sampling=None,  # Optional[VecSampling] — per-row controls
     unroll: Optional[int] = None,
     unroll_layers: Optional[bool] = None,
+    kv_int8: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run the full micro-decode for one frame. Returns codes [B, G] int32
     (slot 0 = first_code). Fully traceable — lives inside the jitted talker
@@ -190,12 +206,14 @@ def subtalker_generate(
     if unroll_layers is None:
         env = os.environ.get("QTTS_ST_UNROLL_LAYERS")
         unroll_layers = bool(int(env)) if env else is_int8
+    if kv_int8 is None:
+        kv_int8 = bool(int(os.environ.get("QTTS_ST_KV8", "0")))
     g = cfg.num_code_groups
     dims = subtalker_dims(cfg)
     b = prev_hidden.shape[0]
     dtype = params["norm"].dtype
 
-    k_cache, v_cache = alloc_subtalker_cache(cfg, b, dtype)
+    k_cache, v_cache = alloc_subtalker_cache(cfg, b, dtype, kv_int8=kv_int8)
     cos_all, sin_all = rope_cos_sin(
         jnp.arange(g, dtype=jnp.int32), cfg.head_dim, cfg.rope_theta
     )  # [G, hd]

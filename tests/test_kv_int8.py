@@ -165,3 +165,25 @@ def test_alloc_kv_cache_int8_halves_bytes():
     # int8 payload + f32/hd scale: 0.5 + 4/(2*hd) of bf16.
     assert ratio < 0.65, ratio
     assert kc8["i8"].shape == kc.shape
+
+
+def test_subtalker_kv_int8_greedy_stable():
+    """Sub-talker int8 KV cache (serving scaling option): the micro-decode
+    runs with the dict cache and stays greedy-stable on well-separated tiny
+    logits (same contract as the int8 tables)."""
+    from qwen_tts_tpu.ops.sampling import SamplingConfig
+
+    cfg = tiny_tts_config().talker
+    p = st_mod.init_subtalker_params(
+        jax.random.PRNGKey(1), cfg.code_predictor, cfg.hidden_size)
+    emb = jax.random.normal(jax.random.PRNGKey(2),
+                            (cfg.vocab_size, cfg.hidden_size))
+    hidden = jax.random.normal(jax.random.PRNGKey(3),
+                               (2, cfg.hidden_size)) * 0.3
+    first = jnp.asarray([3, 7], jnp.int32)
+    g = SamplingConfig(do_sample=False)
+    f0 = st_mod.subtalker_generate(p, cfg.code_predictor, emb, hidden, first,
+                                   g, None)
+    f1 = st_mod.subtalker_generate(p, cfg.code_predictor, emb, hidden, first,
+                                   g, None, kv_int8=True)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
