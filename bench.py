@@ -151,16 +151,19 @@ def main() -> None:
         # Max-throughput shapes. bf16-cache b96 OOM'd in round 2 at 18.75 GiB
         # — the peak was the vocoder activations (~3 live [B,T·1920,C] bufs),
         # so large batches decode the codec in b32 slices (zero redundant
-        # compute) and store the talker KV cache int8
-        # (quantize_for_serving(kv=True) — capacity + bandwidth).
+        # compute). The round-3 sweep (scripts/bench_headline_sweep.py):
+        # b64 538 / b80 558 / b96 565 (peak) / b128-rolled 560; int8 KV
+        # (quantize_for_serving(kv=True)) costs ~1 ms/frame of quantize work
+        # at this 128-frame cache depth (539 at b96) — it is the CAPACITY
+        # option for 2048-token serving budgets, benched here as such.
         ("int8_16groups_b64", st16, cfg16, talker_i8, 64, False, 0),
+        ("int8_16groups_b96", st16, cfg16, talker_i8, 96, False, 32),
         ("int8_16groups_b96_kv8", st16, cfg16, talker_i8, 96, True, 32),
-        ("int8_16groups_b128_kv8", st16, cfg16, talker_i8, 128, True, 32),
         ("bf16", st_params, cfg, talker_params, BATCH, False, 0),
         ("int8", st_params_i8, cfg, talker_params, BATCH, False, 0),
     )
-    HEADLINE = {"int8_16groups", "int8_16groups_b64", "int8_16groups_b96_kv8",
-                "int8_16groups_b128_kv8"}
+    HEADLINE = {"int8_16groups", "int8_16groups_b64", "int8_16groups_b96",
+                "int8_16groups_b96_kv8"}
     emitted = False
     for name, sp, c, tp, batch, kv8, cmb in configs:
         audio_sec = batch * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
@@ -198,7 +201,7 @@ def main() -> None:
                 "configs": report,
                 "baseline_rtf": BASELINE_RTF,
             }, f, indent=2)
-        if name == "int8_16groups_b128_kv8" and not emitted:
+        if name == "int8_16groups_b96_kv8" and not emitted:
             # Headline = the flagship serving config at its max-throughput
             # batch: real 12Hz checkpoints run 16 code groups (== codec
             # quantizers), serving mode quantizes both trunks + the KV cache

@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Focused serving-headline sweep around the saturation point (round 3).
+
+bench.py's fixed configs found b96-kv8 = 539.5x with b128 regressing; this
+script probes the neighborhood one program at a time (each NEW program costs
+minutes on a degraded tunnel, so configs are picked explicitly):
+
+  b96       int8 trunks, bf16 KV, codec batch-split (kv8's quantize work is
+            pure overhead at 128-frame cache depths — serving capacity still
+            wants kv8 at 2048-token budgets)
+  b112_kv8  between the b96 peak and the b128 regression
+  b128_kv8_rolled  QTTS_ST_UNROLL=1 QTTS_ST_UNROLL_LAYERS=0 — tests the
+            VMEM-spill theory for the b128 cliff (rolled loops let XLA keep
+            the int8 body small, at the cost of hoisted dequant)
+
+Usage: python scripts/bench_headline_sweep.py [--configs b96,b112_kv8,...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FRAMES = 128
+SAMPLES_PER_FRAME = 1920
+SAMPLE_RATE = 24000
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="b96,b112_kv8,b128_kv8_rolled")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from qwen_tts_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen_tts_tpu.config import CodecDecoderConfig, TalkerConfig
+    from qwen_tts_tpu.generate import GenerationParams, generate_codes
+    from qwen_tts_tpu.models import codec as codec_mod
+    from qwen_tts_tpu.models import subtalker as st_mod
+    from qwen_tts_tpu.models import talker as talker_mod
+    from qwen_tts_tpu.models.trunk import quantize_trunk_int8
+
+    cfg0 = TalkerConfig()
+    cfg = dataclasses.replace(
+        cfg0, num_code_groups=16,
+        code_predictor=dataclasses.replace(cfg0.code_predictor,
+                                           num_code_groups=16),
+    )
+    codec_cfg = CodecDecoderConfig()
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    talker_params = talker_mod.init_talker_params(rng, cfg, dtype)
+    talker_params = dict(talker_params)
+    talker_params["trunk"] = quantize_trunk_int8(talker_params["trunk"])
+    st16 = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 5), cfg.code_predictor, cfg.hidden_size, dtype
+    )
+    st16 = dict(st16)
+    st16["trunk"] = quantize_trunk_int8(st16["trunk"])
+    st16 = st_mod.quantize_subtalker_tables_int8(st16)
+    codec_params = codec_mod.init_codec_params(
+        jax.random.fold_in(rng, 2), codec_cfg, jnp.bfloat16
+    )
+    decode_jit = jax.jit(codec_mod.codec_decode, static_argnums=1)
+    gp = GenerationParams(max_new_tokens=FRAMES, min_new_tokens=FRAMES,
+                          do_sample=True, subtalker_do_sample=True)
+
+    CONFIGS = {
+        "b96": dict(batch=96, kv_int8=False, env={}),
+        "b96_kv8": dict(batch=96, kv_int8=True, env={}),
+        "b112_kv8": dict(batch=112, kv_int8=True, env={}),
+        "b128_kv8_rolled": dict(batch=128, kv_int8=True,
+                                env={"QTTS_ST_UNROLL": "1",
+                                     "QTTS_ST_UNROLL_LAYERS": "0"}),
+        "b128_kv8": dict(batch=128, kv_int8=True, env={}),
+        # sub-talker int8 KV (its attention+cache is the batch-scaling term)
+        "b96_stkv8": dict(batch=96, kv_int8=False,
+                          env={"QTTS_ST_KV8": "1"}),
+        "b128_rolled": dict(batch=128, kv_int8=False,
+                            env={"QTTS_ST_UNROLL": "1",
+                                 "QTTS_ST_UNROLL_LAYERS": "0"}),
+        "b80": dict(batch=80, kv_int8=False, env={}),
+    }
+
+    report = {}
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_headline_sweep.json")
+    for name in args.configs.split(","):
+        c = CONFIGS[name]
+        batch = c["batch"]
+        for k, v in c["env"].items():
+            os.environ[k] = v
+        try:
+            prefill = 32
+            embeds = jax.random.normal(
+                jax.random.fold_in(rng, 3), (batch, prefill, cfg.hidden_size),
+                dtype)
+            mask = jnp.ones((batch, prefill), bool)
+            trailing = jax.random.normal(
+                jax.random.fold_in(rng, 4), (batch, 16, cfg.hidden_size),
+                dtype)
+
+            def run(seed):
+                out = generate_codes(
+                    talker_params, st16, cfg, embeds, mask, trailing,
+                    sampling=gp.talker_sampling(),
+                    st_sampling=gp.subtalker_sampling(),
+                    max_new_tokens=FRAMES, rng=jax.random.PRNGKey(seed),
+                    trim_last_on_budget=False, kv_int8=c["kv_int8"],
+                )
+                codes = jnp.minimum(
+                    out.codes[..., : codec_cfg.num_quantizers],
+                    codec_cfg.codebook_size - 1)
+                wav = codec_mod.chunked_decode(
+                    codec_params, codec_cfg, codes, decode_fn=decode_jit,
+                    max_batch=32)
+                return jax.block_until_ready(wav)
+
+            print(f"[sweep] {name}: warmup…", file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            run(0)
+            print(f"[sweep] {name}: warmup {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            for i in range(args.runs):
+                run(i + 1)
+            wall = (time.perf_counter() - t0) / args.runs
+            audio = batch * FRAMES * SAMPLES_PER_FRAME / SAMPLE_RATE
+            report[name] = {
+                "batch": batch, "kv_int8": c["kv_int8"], "env": c["env"],
+                "rtf": round(audio / wall, 2),
+                "ms_per_frame": round(wall / FRAMES * 1e3, 3),
+            }
+        except Exception as exc:
+            report[name] = {"batch": batch, "error": f"{type(exc).__name__}: "
+                            f"{str(exc)[:150]}"}
+        finally:
+            for k in c["env"]:
+                os.environ.pop(k, None)
+        print(json.dumps({name: report[name]}), flush=True)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
