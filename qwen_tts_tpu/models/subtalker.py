@@ -261,9 +261,43 @@ def subtalker_generate(
     else:
         rngs = jnp.zeros((g, 2), jnp.uint32)
     positions = jnp.arange(g, dtype=jnp.int32)
-    (_, _, _), codes = jax.lax.scan(
-        step, (k_cache, v_cache, first_code), (positions, rngs), unroll=unroll
-    )
+
+    split = bool(int(os.environ.get("QTTS_ST_SPLIT", "0")))
+    if split and g >= 8 and g % 2 == 0 and not kv_int8:
+        # Two-phase scan: positions < G/2 attend over a HALF-length cache —
+        # bit-identical math (the masked tail contributes exact zeros after
+        # softmax), but the attention+cache reads of the first half shrink
+        # 2×. That term is the dominant batch-scaling cost of serving decode
+        # (0.87→2.39 ms/frame b32→b96 at 16 groups), so this trades one
+        # extra compiled scan body for ~25% of it.
+        half = g // 2
+
+        def half_cache(c):
+            return jax.tree_util.tree_map(lambda x: x[:, :, :half], c)
+
+        def pad_cache(c_small, c_full):
+            return jax.tree_util.tree_map(
+                lambda s, f: jax.lax.dynamic_update_slice(
+                    f, s, (0,) * f.ndim),
+                c_small, c_full,
+            )
+
+        (kc_h, vc_h, code_h), codes1 = jax.lax.scan(
+            step, (half_cache(k_cache), half_cache(v_cache), first_code),
+            (positions[:half], rngs[:half]), unroll=unroll,
+        )
+        kc = pad_cache(kc_h, k_cache)
+        vc = pad_cache(vc_h, v_cache)
+        (_, _, _), codes2 = jax.lax.scan(
+            step, (kc, vc, code_h),
+            (positions[half:], rngs[half:]), unroll=unroll,
+        )
+        codes = jnp.concatenate([codes1, codes2], axis=0)
+    else:
+        (_, _, _), codes = jax.lax.scan(
+            step, (k_cache, v_cache, first_code), (positions, rngs),
+            unroll=unroll,
+        )
     # codes[p] is the token emitted after position p; position 0 emitted none.
     # Groups 1..G-1 come from positions 1..G-1; stack group 0 in front.
     codes = jnp.concatenate([first_code[None], codes[1:]], axis=0)  # [G, B]
