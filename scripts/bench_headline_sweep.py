@@ -91,6 +91,12 @@ def main():
                             env={"QTTS_ST_UNROLL": "1",
                                  "QTTS_ST_UNROLL_LAYERS": "0"}),
         "b80": dict(batch=80, kv_int8=False, env={}),
+        # two-phase scan: first half attends over a half-length cache
+        # (bit-identical math; see subtalker_generate QTTS_ST_SPLIT)
+        "b96_stsplit": dict(batch=96, kv_int8=False,
+                            env={"QTTS_ST_SPLIT": "1"}),
+        "b32_stsplit": dict(batch=32, kv_int8=False,
+                            env={"QTTS_ST_SPLIT": "1"}),
     }
 
     report = {}
