@@ -79,6 +79,8 @@ def _block_mask(seq_len: int, block_size: int, look_back: int, look_ahead: int):
 
 
 def _dit_attention(layer: dict, x: jnp.ndarray, cos, sin, mask, heads, head_dim):
+    """Dense masked attention (reference semantics verbatim). Kept as the
+    oracle for the block-local fast path below."""
     b, t, _ = x.shape
     q = (x @ layer["wq"] + layer["bq"]).reshape(b, t, heads, head_dim)
     k = (x @ layer["wk"] + layer["bk"]).reshape(b, t, heads, head_dim)
@@ -95,6 +97,60 @@ def _dit_attention(layer: dict, x: jnp.ndarray, cos, sin, mask, heads, head_dim)
     return out.reshape(b, t, -1) @ layer["wo"] + layer["bo"]
 
 
+def _dit_attention_local(layer: dict, x: jnp.ndarray, cos, sin,
+                         look_back: int, look_ahead: int, block: int,
+                         heads: int, head_dim: int):
+    """Block-local attention computed block-locally (same math as the dense
+    masked form — query block n attends keys in blocks [n-lb, n+la], pad
+    keys masked to -1e9 — but the score tensor is [B,H,nb,block,w] instead
+    of [B,H,T,T]: the dense form materializes ~T/w more scores in HBM than
+    the mask keeps, which dominated DiT time at T=500)."""
+    b, t, _ = x.shape
+    nb = -(-t // block)
+    t_pad = nb * block
+    w = (look_back + 1 + look_ahead) * block
+
+    q = (x @ layer["wq"] + layer["bq"]).reshape(b, t, heads, head_dim)
+    k = (x @ layer["wk"] + layer["bk"]).reshape(b, t, heads, head_dim)
+    v = (x @ layer["wv"] + layer["bv"]).reshape(b, t, heads, head_dim)
+    q = _apply_rope_interleaved(q, cos[None, :, None], sin[None, :, None])
+    k = _apply_rope_interleaved(k, cos[None, :, None], sin[None, :, None])
+
+    def pad_t(a):
+        return jnp.pad(a, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+
+    qb = pad_t(q).reshape(b, nb, block, heads, head_dim)
+    kb = pad_t(k).reshape(b, nb, block, heads, head_dim)
+    vb = pad_t(v).reshape(b, nb, block, heads, head_dim)
+
+    def neighbors(a):  # [B, nb, block, H, hd] -> [B, nb, w, H, hd]
+        ap = jnp.pad(a, ((0, 0), (look_back, look_ahead), (0, 0), (0, 0),
+                         (0, 0)))
+        return jnp.concatenate(
+            [ap[:, i : i + nb] for i in range(look_back + 1 + look_ahead)],
+            axis=2,
+        )
+
+    kn = neighbors(kb)
+    vn = neighbors(vb)
+
+    scores = jnp.einsum("bnqhd,bnkhd->bhnqk", qb, kn,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(head_dim))
+    # key validity: its global position must exist (not T-pad, not nb-pad)
+    off = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 1)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 0)
+    key_block = blk + off // block - look_back
+    key_pos = key_block * block + off % block
+    valid = (key_block >= 0) & (key_block < nb) & (key_pos < t)
+    scores = jnp.where(valid[None, None, :, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vn.dtype)
+    out = jnp.einsum("bhnqk,bnkhd->bnqhd", probs, vn,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(b, t_pad, heads * head_dim)[:, :t]
+    return out @ layer["wo"] + layer["bo"]
+
+
 def _dit_layer(layer: dict, x: jnp.ndarray, time_emb: jnp.ndarray,
                cos, sin, mask, cfg: DiTConfig):
     # AdaLN-Zero (:477-491): 6-way modulation from silu(time_emb).
@@ -103,8 +159,10 @@ def _dit_layer(layer: dict, x: jnp.ndarray, time_emb: jnp.ndarray,
         mod, 6, axis=-1
     )
     normed = _ln_noaffine(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
-    attn = _dit_attention(layer, normed, cos, sin, mask,
-                          cfg.num_attention_heads, cfg.head_dim)
+    look_back, look_ahead = mask  # (lb, la) block window
+    attn = _dit_attention_local(layer, normed, cos, sin,
+                                look_back, look_ahead, cfg.block_size,
+                                cfg.num_attention_heads, cfg.head_dim)
     x = x + gate_msa[:, None] * attn
     normed = _ln_noaffine(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
     h = normed @ layer["ff1_w"] + layer["ff1_b"]
@@ -130,11 +188,18 @@ def dit_forward(
     t_step: jnp.ndarray,      # [B] diffusion time
 ) -> jnp.ndarray:
     """One DiT velocity evaluation. Returns [B, T, mel]."""
-    time_emb = _sinus_time_embedding(t_step, 256)
+    # Activations follow the PARAM dtype: bf16 checkpoints run the whole
+    # transformer in bf16 (the f32 ODE state was silently promoting every
+    # matmul/elementwise to f32 — measured 753 ms of the 1067 ms b8x10s
+    # decode); f32 params (CPU parity/oracle paths) stay f32 end-to-end.
+    dt = params["in_proj_w"].dtype
+    time_emb = _sinus_time_embedding(t_step, 256).astype(dt)
     time_emb = jax.nn.silu(time_emb @ params["time_w1"] + params["time_b1"])
     time_emb = time_emb @ params["time_w2"] + params["time_b2"]
 
-    x = jnp.concatenate([noisy_mel, spk_summary, code_embed, xvec], axis=-1)
+    x = jnp.concatenate(
+        [noisy_mel.astype(dt), spk_summary.astype(dt),
+         code_embed.astype(dt), xvec.astype(dt)], axis=-1)
     x = x @ params["in_proj_w"] + params["in_proj_b"]
 
     seq = x.shape[1]
@@ -143,13 +208,15 @@ def dit_forward(
     for i, layer in enumerate(params["layers"]):
         look_ahead = 1 if i in cfg.look_ahead_layers else 0
         look_back = 1 if i in cfg.look_backward_layers else 0
-        mask = _block_mask(seq, cfg.block_size, look_back, look_ahead)
-        x = _dit_layer(layer, x, time_emb, cos, sin, mask, cfg)
+        x = _dit_layer(layer, x, time_emb, cos, sin,
+                       (look_back, look_ahead), cfg)
 
     mod = jax.nn.silu(time_emb) @ params["out_ada_w"] + params["out_ada_b"]
     scale, shift = jnp.split(mod, 2, axis=-1)
     x = _ln_noaffine(x) * (1 + scale[:, None]) + shift[:, None]
-    return x @ params["out_proj_w"] + params["out_proj_b"]
+    # f32 out: the Euler ODE state integrates in f32 regardless of dt.
+    return (x @ params["out_proj_w"] + params["out_proj_b"]
+            ).astype(jnp.float32)
 
 
 def dit_sample(
@@ -271,7 +338,8 @@ def _depthwise_conv(x: jnp.ndarray, filt: jnp.ndarray, stride: int = 1):
     c = x.shape[-1]
     w = jnp.broadcast_to(filt[:, None, None], (filt.shape[0], 1, c))
     return jax.lax.conv_general_dilated(
-        x, w, (stride,), [(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"),
+        x, w.astype(x.dtype), (stride,), [(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=c, preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
@@ -281,7 +349,7 @@ def _depthwise_conv_transpose(x: jnp.ndarray, filt: jnp.ndarray, stride: int):
     k = filt.shape[0]
     w = jnp.broadcast_to(filt[::-1][:, None, None], (k, 1, c))
     return jax.lax.conv_general_dilated(
-        x, w, (1,), [(k - 1, k - 1)], lhs_dilation=(stride,),
+        x, w.astype(x.dtype), (1,), [(k - 1, k - 1)], lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
@@ -382,7 +450,12 @@ def bigvgan_forward(params: dict, cfg: BigVGANConfig, mel: jnp.ndarray
                     ) -> jnp.ndarray:
     """mel [B, T, mel_dim] → waveform [B, T * total_upsample]."""
     filters = params["_filters"]
-    h = _process_mel(mel)
+    # Vocoder activations follow the param dtype: bf16 checkpoints take the
+    # bf16 path end-to-end, which also unlocks snake_beta's polynomial sin²
+    # (the f32 mel was promoting every conv AND forcing the exact
+    # transcendental sine — the 12 Hz codec's single biggest cost before
+    # the same fix). f32 params (parity/oracle paths) stay f32.
+    h = _process_mel(mel).astype(params["pre_w"].dtype)
     h = _conv1d_same(h, params["pre_w"], params["pre_b"])
     n_res = len(cfg.resblock_kernel_sizes)
     for li, rate in enumerate(cfg.upsample_rates):

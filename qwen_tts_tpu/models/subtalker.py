@@ -268,8 +268,11 @@ def subtalker_generate(
         # bit-identical math (the masked tail contributes exact zeros after
         # softmax), but the attention+cache reads of the first half shrink
         # 2×. That term is the dominant batch-scaling cost of serving decode
-        # (0.87→2.39 ms/frame b32→b96 at 16 groups), so this trades one
-        # extra compiled scan body for ~25% of it.
+        # (0.87→2.39 ms/frame b32→b96 at 16 groups).
+        # MEASURED NEGATIVE on v5e (round 3): b96 565→496×, b32 462→399× —
+        # doubling the straight-lined int8 scan body costs more (VMEM /
+        # scheduling) than the saved reads. Kept as a documented knob; do
+        # not enable on this stack.
         half = g // 2
 
         def half_cache(c):

@@ -74,6 +74,10 @@ def main() -> int:
     split = {}
     if args.split:
         # Stage attribution: DiT Euler sampling vs BigVGAN vocoder.
+        # CAVEAT: these standalone timings each pay their own program load +
+        # dispatch over the tunnel and have measured minutes-scale variance
+        # when the tunnel degrades — the full-pipeline wall above is the
+        # authoritative number; use the split only for rough attribution.
         from functools import partial as _p
 
         dit_fn = jax.jit(_p(v1.dit_sample, num_steps=10), static_argnums=1)
