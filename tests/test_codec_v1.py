@@ -159,3 +159,28 @@ def test_full_v1_decode_shapes_and_determinism():
     wav3 = v1.codec_v1_decode(params, cfg, codes, xv, mel,
                               jax.random.PRNGKey(1))
     assert not np.allclose(np.asarray(wav), np.asarray(wav3))
+
+
+def test_block_local_attention_matches_dense_oracle():
+    """The block-local DiT attention (serving fast path) must equal the
+    dense masked form (reference semantics, kept as the in-repo oracle)
+    for every look_back/look_ahead combination, including a T that does
+    not divide the block size."""
+    import qwen_tts_tpu.models.codec_v1 as v1
+
+    rng = jax.random.PRNGKey(0)
+    b, t, heads, hd, block = 2, 53, 4, 16, 8
+    d = heads * hd
+    shapes = {"wq": (d, d), "bq": (d,), "wk": (d, d), "bk": (d,),
+              "wv": (d, d), "bv": (d,), "wo": (d, d), "bo": (d,)}
+    layer = {k: jax.random.normal(jax.random.fold_in(rng, i), s) * 0.1
+             for i, (k, s) in enumerate(shapes.items())}
+    x = jax.random.normal(jax.random.fold_in(rng, 99), (b, t, d))
+    cos, sin = v1._interleaved_rope_tables(t, hd, 10000.0)
+    for lb, la in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        mask = v1._block_mask(t, block, lb, la)
+        dense = v1._dit_attention(layer, x, cos, sin, mask, heads, hd)
+        local = v1._dit_attention_local(layer, x, cos, sin, lb, la, block,
+                                        heads, hd)
+        np.testing.assert_allclose(np.asarray(local), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
