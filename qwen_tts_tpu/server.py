@@ -375,6 +375,13 @@ def main(argv=None) -> int:
     p.add_argument("--allow-local-audio", action="store_true",
                    help="accept server-path/URL audio + arbitrary voice_file "
                         "paths over HTTP (trusted localhost deployments only)")
+    p.add_argument("--serving-int8", action="store_true",
+                   help="int8 serving mode: quantize both trunks + stacked "
+                        "sub-talker tables (throughput; changes numerics — "
+                        "greedy traces differ from the bf16 parity default)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 talker KV cache (the capacity option for long "
+                        "token budgets / large slot pools; serving numerics)")
     args = p.parse_args(argv)
 
     from qwen_tts_tpu.pipeline import Qwen3TTSModel
@@ -382,6 +389,10 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     model = Qwen3TTSModel.from_pretrained(args.model_dir)
+    if args.serving_int8:
+        model.quantize_for_serving(talker=True, kv=args.kv_int8)
+    elif args.kv_int8:
+        model.kv_int8 = True  # cache-only (no weight quantization)
     if args.continuous:
         from qwen_tts_tpu.continuous import ContinuousBatchingEngine
 
