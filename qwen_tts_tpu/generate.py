@@ -390,11 +390,29 @@ def _frame_body(
         active = ~st.eos & (st.num_gen < limit_b)
 
         # 1) sub-talker expands the current token into all groups.
-        frame = st_mod.subtalker_generate(
-            st_params, talker_cfg.code_predictor,
-            talker_params["codec_embedding"], st.hidden, st.token,
-            st_sampling, r_sub, vec_sampling=st_vec_sampling,
-        )  # [B, G]
+        import os as _os
+
+        use_jacobi = (
+            bool(int(_os.environ.get("QTTS_ST_JACOBI", "0")))
+            and st_vec_sampling is None
+            and not st_sampling.do_sample
+        )
+        if use_jacobi:
+            # Greedy-exact fixed-point iteration: trunk weights stream once
+            # per iteration instead of once per micro-step (see
+            # subtalker_generate_jacobi docstring for the contract).
+            _fi = _os.environ.get("QTTS_ST_JACOBI_ITERS")
+            frame = st_mod.subtalker_generate_jacobi(
+                st_params, talker_cfg.code_predictor,
+                talker_params["codec_embedding"], st.hidden, st.token,
+                fixed_iters=int(_fi) if _fi else None,
+            )  # [B, G]
+        else:
+            frame = st_mod.subtalker_generate(
+                st_params, talker_cfg.code_predictor,
+                talker_params["codec_embedding"], st.hidden, st.token,
+                st_sampling, r_sub, vec_sampling=st_vec_sampling,
+            )  # [B, G]
         num_gen = st.num_gen + active.astype(jnp.int32)
 
         # 2) next talker input: Σ group embeddings + trailing text / tts_pad.

@@ -307,6 +307,113 @@ def subtalker_generate(
     return codes.T.astype(jnp.int32)
 
 
+def subtalker_generate_jacobi(
+    params: dict,
+    cfg: CodePredictorConfig,
+    talker_codec_embedding: jnp.ndarray,  # [V_talker, D_talker]
+    prev_hidden: jnp.ndarray,             # [B, D_talker]
+    first_code: jnp.ndarray,              # [B]
+    *,
+    fixed_iters: Optional[int] = None,
+) -> jnp.ndarray:
+    """Greedy micro-decode as a Jacobi fixed-point iteration (exact).
+
+    Instead of G-1 sequential micro-steps (each streaming the whole 5-layer
+    trunk from HBM — the measured decode bottleneck, CLAUDE.md ledger), guess
+    all group tokens at once and iterate FULL-SEQUENCE forwards:
+
+        codes_{k+1}[p] = argmax lm_head[p-1](trunk(inputs(codes_k))[p])
+
+    Causality gives the standard Jacobi-decoding guarantee: after iteration
+    k the first k groups equal the sequential greedy trace exactly (group 1
+    depends only on known inputs, group 2 only on group 1, ...), so the
+    fixed point IS the sequential trace and is reached in ≤ G-1 iterations —
+    usually far fewer on trained weights, where most groups are predictable
+    from the trunk hidden alone. Per iteration the trunk weights stream ONCE
+    (vs once per micro-step) and the G-position forward runs as MXU-batched
+    matmuls; the crossover vs the sequential scan is ~G/3 iterations at
+    flagship dims.
+
+    Greedy only (the reference's sampled sub-talker is inherently
+    sequential); exactness is up to XLA reduction-order on the logits —
+    the same caveat as every bf16 parity contract in this repo. The talker
+    side is unchanged; this is the structural "fewer weight-bytes per frame"
+    lever the ablation bench said was the only remaining sub-talker axis.
+
+    ``fixed_iters`` pins the iteration count (static cost — for benching and
+    for batch-serving where a data-dependent while_loop would sync rows);
+    default runs a while_loop to the fixed point with a G-1 safety cap.
+    Reference semantics anchor: modeling_qwen3_tts.py:1015-1319 (the
+    sequential schedule this converges to).
+    """
+    from qwen_tts_tpu.models.trunk import trunk_prefill
+
+    g = cfg.num_code_groups
+    dims = subtalker_dims(cfg)
+    b = prev_hidden.shape[0]
+    dtype = params["norm"].dtype
+
+    positions = jnp.broadcast_to(jnp.arange(g)[None], (b, g))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    x0 = prev_hidden.astype(dtype)[:, None]                     # [B, 1, D]
+    x1 = talker_codec_embedding[first_code].astype(dtype)[:, None]
+    group_ids = jnp.arange(g - 2)
+
+    def forward(codes):
+        # inputs: pos p>=2 embeds group (p-1)'s token via table p-2
+        if "embeds_i8" in params:
+            rest = params["embeds_i8"][group_ids[:, None], codes[:, 1 : g - 1].T]
+            rest = rest.astype(dtype) * params["embeds_s"][group_ids].astype(
+                dtype
+            )  # [G-2,1,D] broadcasts over [G-2,B,D]
+        else:
+            rest = params["embeds"][group_ids[:, None], codes[:, 1 : g - 1].T]
+        x = jnp.concatenate(
+            [x0, x1, jnp.transpose(rest, (1, 0, 2)).astype(dtype)], axis=1
+        )
+        x = _project_input(params, x)
+        hidden, _, _ = trunk_prefill(params["trunk"], dims, x, cos, sin)
+        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+        if "lm_heads_i8" in params:
+            logits = jnp.einsum(
+                "bid,idv->biv",
+                hidden[:, 1:],
+                params["lm_heads_i8"].astype(dtype),
+            ).astype(jnp.float32) * params["lm_heads_s"][:, 0].astype(
+                jnp.float32
+            )  # [G-1, V] broadcasts over [B, G-1, V]
+        else:
+            logits = jnp.einsum(
+                "bid,idv->biv", hidden[:, 1:], params["lm_heads"]
+            ).astype(jnp.float32)
+        new = jnp.argmax(logits, axis=-1).astype(jnp.int32)     # [B, G-1]
+        return jnp.concatenate([first_code[:, None], new], axis=1)
+
+    codes0 = jnp.concatenate(
+        [first_code[:, None], jnp.zeros((b, g - 1), jnp.int32)], axis=1
+    )
+
+    if fixed_iters is not None:
+        codes = codes0
+        for _ in range(fixed_iters):
+            codes = forward(codes)
+        return codes
+
+    def cond(carry):
+        codes, prev, it = carry
+        return (it < g - 1) & ((it == 0) | jnp.any(codes != prev))
+
+    def body(carry):
+        codes, _, it = carry
+        return forward(codes), codes, it + 1
+
+    codes, _, _ = jax.lax.while_loop(
+        cond, body, (codes0, codes0, jnp.zeros((), jnp.int32))
+    )
+    return codes
+
+
 def embed_groups_sum(
     params: dict,
     talker_codec_embedding: jnp.ndarray,  # [V_talker, D_talker]

@@ -1,0 +1,120 @@
+"""Jacobi fixed-point sub-talker decode: exact-greedy contract.
+
+The sequential G-step scan (modeling_qwen3_tts.py:1015-1319 schedule) and
+the Jacobi iteration must produce the same greedy trace — the fixed point of
+the full-sequence forward IS the sequential trace, reached in ≤ G-1
+iterations (see subtalker_generate_jacobi docstring)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qwen_tts_tpu.config import tiny_tts_config
+from qwen_tts_tpu.models import subtalker as st_mod
+from qwen_tts_tpu.ops.sampling import SamplingConfig
+
+
+def _setup(seed=1, batch=3):
+    cfg = tiny_tts_config().talker
+    p = st_mod.init_subtalker_params(
+        jax.random.PRNGKey(seed), cfg.code_predictor, cfg.hidden_size
+    )
+    emb = jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (cfg.vocab_size, cfg.hidden_size)
+    )
+    hidden = (
+        jax.random.normal(jax.random.PRNGKey(seed + 2), (batch, cfg.hidden_size))
+        * 0.3
+    )
+    first = jnp.asarray(np.arange(batch) * 3 % cfg.code_predictor.vocab_size,
+                        jnp.int32)
+    return cfg, p, emb, hidden, first
+
+
+def test_jacobi_matches_sequential_greedy():
+    cfg, p, emb, hidden, first = _setup()
+    seq = st_mod.subtalker_generate(
+        p, cfg.code_predictor, emb, hidden, first,
+        SamplingConfig(do_sample=False), None,
+    )
+    jac = st_mod.subtalker_generate_jacobi(
+        p, cfg.code_predictor, emb, hidden, first
+    )
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(jac))
+
+
+def test_jacobi_matches_sequential_greedy_int8_tables():
+    cfg, p, emb, hidden, first = _setup(seed=5)
+    p8 = st_mod.quantize_subtalker_tables_int8(p)
+    seq = st_mod.subtalker_generate(
+        p8, cfg.code_predictor, emb, hidden, first,
+        SamplingConfig(do_sample=False), None,
+    )
+    jac = st_mod.subtalker_generate_jacobi(
+        p8, cfg.code_predictor, emb, hidden, first
+    )
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(jac))
+
+
+def test_jacobi_fixed_iters_full_depth_is_exact():
+    """fixed_iters = G-1 is the worst-case bound: always the exact trace
+    (bench mode uses this for static cost)."""
+    cfg, p, emb, hidden, first = _setup(seed=9)
+    g = cfg.code_predictor.num_code_groups
+    seq = st_mod.subtalker_generate(
+        p, cfg.code_predictor, emb, hidden, first,
+        SamplingConfig(do_sample=False), None,
+    )
+    jac = st_mod.subtalker_generate_jacobi(
+        p, cfg.code_predictor, emb, hidden, first, fixed_iters=g - 1
+    )
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(jac))
+
+
+def test_jacobi_gate_in_generate_is_trace_exact(monkeypatch, tmp_path):
+    """QTTS_ST_JACOBI=1 keeps the full greedy decode token-exact (the gate
+    only engages for greedy sub-talker sampling)."""
+    from qwen_tts_tpu.generate import (
+        GenerationParams,
+        batch_prompts,
+        build_prompt,
+        generate_codes,
+    )
+    from qwen_tts_tpu.models import talker as talker_mod
+
+    full_cfg = tiny_tts_config()
+    cfg = full_cfg.talker
+    rng = jax.random.PRNGKey(0)
+    tp = talker_mod.init_talker_params(rng, cfg)
+    sp = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 1), cfg.code_predictor, cfg.hidden_size
+    )
+    prompts = [
+        build_prompt(
+            tp, full_cfg,
+            np.array([1, 2, 3, 10 + i, 11, 12, 4, 5, 1, 2, 3], np.int32),
+            language="english", speaker="aiden",
+        )
+        for i in range(2)
+    ]
+    embeds, pmask, trailing, _ = batch_prompts(prompts)
+    gp = GenerationParams(
+        max_new_tokens=4, min_new_tokens=4, do_sample=False,
+        subtalker_do_sample=False, repetition_penalty=1.0,
+    )
+
+    def run():
+        out = generate_codes(
+            tp, sp, cfg, jnp.asarray(embeds), jnp.asarray(pmask),
+            jnp.asarray(trailing), sampling=gp.talker_sampling(),
+            st_sampling=gp.subtalker_sampling(),
+            max_new_tokens=gp.max_new_tokens, rng=jax.random.PRNGKey(0),
+        )
+        return np.asarray(out.codes)
+
+    ref = run()
+    monkeypatch.setenv("QTTS_ST_JACOBI", "1")
+    jac = run()
+    np.testing.assert_array_equal(ref, jac)
