@@ -392,19 +392,18 @@ def _frame_body(
         # 1) sub-talker expands the current token into all groups.
         import os as _os
 
-        use_jacobi = (
-            bool(int(_os.environ.get("QTTS_ST_JACOBI", "0")))
-            and st_vec_sampling is None
-            and not st_sampling.do_sample
-        )
+        use_jacobi = bool(int(_os.environ.get("QTTS_ST_JACOBI", "0")))
         if use_jacobi:
-            # Greedy-exact fixed-point iteration: trunk weights stream once
-            # per iteration instead of once per micro-step (see
-            # subtalker_generate_jacobi docstring for the contract).
+            # Exact fixed-point iteration (greedy, sampled, or per-row vec
+            # sampled — all via the gumbel-max key-reuse trick): trunk
+            # weights stream once per iteration instead of once per
+            # micro-step (see subtalker_generate_jacobi's contract).
             _fi = _os.environ.get("QTTS_ST_JACOBI_ITERS")
             frame = st_mod.subtalker_generate_jacobi(
                 st_params, talker_cfg.code_predictor,
                 talker_params["codec_embedding"], st.hidden, st.token,
+                sampling=st_sampling, rng=r_sub,
+                vec_sampling=st_vec_sampling,
                 fixed_iters=int(_fi) if _fi else None,
             )  # [B, G]
         else:

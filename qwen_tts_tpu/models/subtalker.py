@@ -314,9 +314,12 @@ def subtalker_generate_jacobi(
     prev_hidden: jnp.ndarray,             # [B, D_talker]
     first_code: jnp.ndarray,              # [B]
     *,
+    sampling: "Optional[SamplingConfig]" = None,
+    rng: Optional[jax.Array] = None,
+    vec_sampling=None,  # Optional[VecSampling] — per-row controls
     fixed_iters: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Greedy micro-decode as a Jacobi fixed-point iteration (exact).
+    """Micro-decode as a Jacobi fixed-point iteration (exact).
 
     Instead of G-1 sequential micro-steps (each streaming the whole 5-layer
     trunk from HBM — the measured decode bottleneck, CLAUDE.md ledger), guess
@@ -334,11 +337,18 @@ def subtalker_generate_jacobi(
     matmuls; the crossover vs the sequential scan is ~G/3 iterations at
     flagship dims.
 
-    Greedy only (the reference's sampled sub-talker is inherently
-    sequential); exactness is up to XLA reduction-order on the logits —
-    the same caveat as every bf16 parity contract in this repo. The talker
-    side is unchanged; this is the structural "fewer weight-bytes per frame"
-    lever the ablation bench said was the only remaining sub-talker axis.
+    SAMPLING works too, bit-exactly, via the Gumbel-max reparameterization
+    already inside ``jax.random.categorical``: pass ``sampling`` (with
+    ``do_sample``) and ``rng``, and each position p's token is sampled with
+    the SAME per-position key the sequential scan uses (``split(rng, g)``,
+    key p for position p). Given its fixed key, position p's warped-logits →
+    categorical draw is a deterministic function of codes < p, so the Jacobi
+    fixed point IS the sequential sampled trace — exact ancestral sampling,
+    not an approximation. Exactness is up to XLA reduction-order on the
+    logits — the same caveat as every bf16 parity contract in this repo.
+    The talker side is unchanged; this is the structural "fewer
+    weight-bytes per frame" lever the ablation bench said was the only
+    remaining sub-talker axis.
 
     ``fixed_iters`` pins the iteration count (static cost — for benching and
     for batch-serving where a data-dependent while_loop would sync rows);
@@ -352,6 +362,25 @@ def subtalker_generate_jacobi(
     dims = subtalker_dims(cfg)
     b = prev_hidden.shape[0]
     dtype = params["norm"].dtype
+
+    do_sample = rng is not None and (
+        (sampling is not None and sampling.do_sample) or vec_sampling is not None
+    )
+    if do_sample:
+        # Identical key schedule to the sequential scan (split(rng, g);
+        # position 0 emits nothing, position p >= 1 uses key p) so the fixed
+        # point reproduces the sequential sampled trace bit-for-bit — for
+        # both the static SamplingConfig path and the per-row VecSampling
+        # path (continuous batching).
+        pos_rngs = jax.random.split(rng, g)
+        if vec_sampling is not None:
+            from qwen_tts_tpu.ops.sampling_vec import sample_token_vec
+
+            def draw(logits_i, i):
+                return sample_token_vec(logits_i, vec_sampling, pos_rngs[i + 1])
+        else:
+            def draw(logits_i, i):
+                return sample_token(logits_i, sampling, pos_rngs[i + 1])
 
     positions = jnp.broadcast_to(jnp.arange(g)[None], (b, g))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -373,7 +402,16 @@ def subtalker_generate_jacobi(
             [x0, x1, jnp.transpose(rest, (1, 0, 2)).astype(dtype)], axis=1
         )
         x = _project_input(params, x)
-        hidden, _, _ = trunk_prefill(params["trunk"], dims, x, cos, sin)
+        # Straight-line the 5-layer stack when int8 so the dequant fuses into
+        # each dot (same tuning as the sequential decode path).
+        unroll = (
+            dims.num_layers
+            if any(k.endswith("_i8") for k in params["trunk"])
+            else 1
+        )
+        hidden, _, _ = trunk_prefill(
+            params["trunk"], dims, x, cos, sin, unroll=unroll
+        )
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
         if "lm_heads_i8" in params:
             logits = jnp.einsum(
@@ -387,7 +425,14 @@ def subtalker_generate_jacobi(
             logits = jnp.einsum(
                 "bid,idv->biv", hidden[:, 1:], params["lm_heads"]
             ).astype(jnp.float32)
-        new = jnp.argmax(logits, axis=-1).astype(jnp.int32)     # [B, G-1]
+        if do_sample:
+            # Same warp chain + categorical draw as the sequential step,
+            # one static call per position with that position's key.
+            new = jnp.stack(
+                [draw(logits[:, i], i) for i in range(g - 1)], axis=1
+            )
+        else:
+            new = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, G-1]
         return jnp.concatenate([first_code[:, None], new], axis=1)
 
     codes0 = jnp.concatenate(

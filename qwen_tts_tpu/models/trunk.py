@@ -183,8 +183,14 @@ def trunk_prefill(
     *,
     pad_mask: Optional[jnp.ndarray] = None,  # [B, S] True = real
     sliding_window: Optional[int] = None,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Full-sequence forward. Returns (hidden [B,S,D], k [L,B,S,KV,hd], v)."""
+    """Full-sequence forward. Returns (hidden [B,S,D], k [L,B,S,KV,hd], v).
+
+    ``unroll`` straight-lines the layer scan — required for int8 params to
+    keep the dequant fused into each dot (rolled loops let XLA hoist the
+    dequant and materialize bf16 weight copies, CLAUDE.md ledger); leave
+    rolled for bf16 / long stacks (compile size)."""
 
     def layer_step(h, layer):
         x = rms_norm(h, layer["input_norm"], dims.eps)
@@ -202,7 +208,7 @@ def trunk_prefill(
         )
         return h, (k, v)
 
-    hidden, (ks, vs) = jax.lax.scan(layer_step, hidden, params)
+    hidden, (ks, vs) = jax.lax.scan(layer_step, hidden, params, unroll=unroll)
     return hidden, ks, vs
 
 

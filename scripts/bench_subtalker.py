@@ -79,17 +79,29 @@ def main():
                    + st_params["lm_heads"][0].size) * 2
     per_frame = trunk_bytes * args.groups + slice_bytes * (args.groups - 1)
 
-    def make_runner(params, unroll=1, unroll_layers=False):
+    def make_runner(params, unroll=1, unroll_layers=False, jacobi=None):
         def frames_loop(params, hidden, first):
             # Each frame's inputs depend on the previous frame's outputs
             # (like the real AR loop) so XLA cannot hoist the body.
             def body(carry, _):
                 hidden, first = carry
-                frame = st_mod.subtalker_generate(
-                    params, cfg.code_predictor, codec_embedding,
-                    hidden, first, greedy, None,
-                    unroll=unroll, unroll_layers=unroll_layers,
-                )
+                if jacobi is not None:
+                    iters, sampled = jacobi
+                    frame = st_mod.subtalker_generate_jacobi(
+                        params, cfg.code_predictor, codec_embedding,
+                        hidden, first,
+                        sampling=SamplingConfig(
+                            do_sample=True, temperature=0.9, top_k=50
+                        ) if sampled else None,
+                        rng=jax.random.PRNGKey(7) if sampled else None,
+                        fixed_iters=iters if iters > 0 else None,
+                    )
+                else:
+                    frame = st_mod.subtalker_generate(
+                        params, cfg.code_predictor, codec_embedding,
+                        hidden, first, greedy, None,
+                        unroll=unroll, unroll_layers=unroll_layers,
+                    )
                 first = frame[:, -1] % cfg.vocab_size
                 hidden = hidden + (frame.sum(axis=1) % 3).astype(hidden.dtype)[:, None] * 1e-6
                 return (hidden, first), frame[:, 1]
@@ -109,9 +121,18 @@ def main():
     for variant in args.variants.split(","):
         params = st_params
         kw = {}
-        if variant.startswith("int8"):
+        if variant.startswith("int8") or variant.startswith("jac"):
             params = dict(st_params)
             params["trunk"] = quantize_trunk_int8(st_params["trunk"])
+        if variant.startswith("jac"):
+            # jacN = Jacobi fixed-point micro-decode pinned to N iterations
+            # (per-iteration cost / crossover probe); jacsN = the sampled
+            # (gumbel key-reuse) variant; bare "jac"/"jacs" runs the adaptive
+            # while_loop — worst-case ~G-1 iters on random weights.
+            params = st_mod.quantize_subtalker_tables_int8(params)
+            sampled = variant.startswith("jacs")
+            tail = variant[4 if sampled else 3:]
+            kw["jacobi"] = (int(tail) if tail else 0, sampled)
         if "L" in variant:
             kw["unroll_layers"] = True
         if variant.endswith("u2"):
@@ -119,11 +140,13 @@ def main():
         if variant.endswith("u4"):
             kw["unroll"] = 4
         fn, fn_args = make_runner(params, **kw)
-        out = jax.block_until_ready(fn(*fn_args))  # compile
+        # Force a device->host fetch: block_until_ready does not reliably
+        # sync over the axon tunnel (CLAUDE.md).
+        float(jnp.sum(fn(*fn_args)))  # compile
         t0 = time.perf_counter()
         runs = 3
         for _ in range(runs):
-            out = jax.block_until_ready(fn(*fn_args))
+            float(jnp.sum(fn(*fn_args)))
         dt = (time.perf_counter() - t0) / runs
         ms_frame = dt / args.frames * 1e3
         scale = 0.5 if variant.startswith("int8") else 1.0

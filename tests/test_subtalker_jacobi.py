@@ -118,3 +118,105 @@ def test_jacobi_gate_in_generate_is_trace_exact(monkeypatch, tmp_path):
     monkeypatch.setenv("QTTS_ST_JACOBI", "1")
     jac = run()
     np.testing.assert_array_equal(ref, jac)
+
+def test_jacobi_matches_sequential_sampled():
+    """Gumbel-max key reuse: the sampled Jacobi fixed point IS the
+    sequential sampled trace (same per-position keys -> same categorical
+    draws), bit-for-bit on the f32 CPU path."""
+    cfg, p, emb, hidden, first = _setup(seed=13, batch=4)
+    sc = SamplingConfig(do_sample=True, temperature=0.9, top_k=50, top_p=1.0)
+    rng = jax.random.PRNGKey(42)
+    seq = st_mod.subtalker_generate(
+        p, cfg.code_predictor, emb, hidden, first, sc, rng
+    )
+    jac = st_mod.subtalker_generate_jacobi(
+        p, cfg.code_predictor, emb, hidden, first, sampling=sc, rng=rng
+    )
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(jac))
+
+
+def test_jacobi_sampled_topp_and_int8_tables():
+    cfg, p, emb, hidden, first = _setup(seed=17, batch=3)
+    p8 = st_mod.quantize_subtalker_tables_int8(p)
+    sc = SamplingConfig(do_sample=True, temperature=1.3, top_k=0, top_p=0.8)
+    rng = jax.random.PRNGKey(7)
+    seq = st_mod.subtalker_generate(
+        p8, cfg.code_predictor, emb, hidden, first, sc, rng
+    )
+    jac = st_mod.subtalker_generate_jacobi(
+        p8, cfg.code_predictor, emb, hidden, first, sampling=sc, rng=rng
+    )
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(jac))
+
+
+def test_jacobi_gate_sampled_decode_is_trace_exact(monkeypatch):
+    """QTTS_ST_JACOBI=1 with a SAMPLED sub-talker keeps the full decode
+    trace exact (the gate now engages for sampling too, via key reuse)."""
+    from qwen_tts_tpu.generate import (
+        GenerationParams,
+        batch_prompts,
+        build_prompt,
+        generate_codes,
+    )
+    from qwen_tts_tpu.models import talker as talker_mod
+
+    full_cfg = tiny_tts_config()
+    cfg = full_cfg.talker
+    rng = jax.random.PRNGKey(0)
+    tp = talker_mod.init_talker_params(rng, cfg)
+    sp = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 1), cfg.code_predictor, cfg.hidden_size
+    )
+    prompts = [
+        build_prompt(
+            tp, full_cfg,
+            np.array([1, 2, 3, 10 + i, 11, 12, 4, 5, 1, 2, 3], np.int32),
+            language="english", speaker="aiden",
+        )
+        for i in range(2)
+    ]
+    embeds, pmask, trailing, _ = batch_prompts(prompts)
+    gp = GenerationParams(
+        max_new_tokens=4, min_new_tokens=4, do_sample=True,
+        subtalker_do_sample=True, repetition_penalty=1.05,
+    )
+
+    def run():
+        out = generate_codes(
+            tp, sp, cfg, jnp.asarray(embeds), jnp.asarray(pmask),
+            jnp.asarray(trailing), sampling=gp.talker_sampling(),
+            st_sampling=gp.subtalker_sampling(),
+            max_new_tokens=gp.max_new_tokens, rng=jax.random.PRNGKey(3),
+        )
+        return np.asarray(out.codes)
+
+    ref = run()
+    monkeypatch.setenv("QTTS_ST_JACOBI", "1")
+    jac = run()
+    np.testing.assert_array_equal(ref, jac)
+
+
+def test_jacobi_matches_sequential_vec_sampled():
+    """Per-row VecSampling (continuous-batching path): mixed greedy/sampled
+    rows with heterogeneous warp params stay bit-equal to the sequential
+    scan under Jacobi."""
+    from qwen_tts_tpu.ops.sampling_vec import VecSampling
+
+    cfg, p, emb, hidden, first = _setup(seed=21, batch=4)
+    vs = VecSampling(
+        do_sample=jnp.array([True, False, True, True]),
+        temperature=jnp.array([0.9, 1.0, 1.4, 0.7], jnp.float32),
+        top_k=jnp.array([50, 0, 8, 0], jnp.int32),
+        top_p=jnp.array([1.0, 1.0, 0.9, 0.8], jnp.float32),
+        repetition_penalty=jnp.ones((4,), jnp.float32),
+        min_new_tokens=jnp.zeros((4,), jnp.int32),
+    )
+    rng = jax.random.PRNGKey(11)
+    seq = st_mod.subtalker_generate(
+        p, cfg.code_predictor, emb, hidden, first,
+        SamplingConfig(do_sample=False), rng, vec_sampling=vs,
+    )
+    jac = st_mod.subtalker_generate_jacobi(
+        p, cfg.code_predictor, emb, hidden, first, rng=rng, vec_sampling=vs
+    )
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(jac))
