@@ -318,6 +318,7 @@ def subtalker_generate_jacobi(
     rng: Optional[jax.Array] = None,
     vec_sampling=None,  # Optional[VecSampling] — per-row controls
     fixed_iters: Optional[int] = None,
+    return_iters: bool = False,
 ) -> jnp.ndarray:
     """Micro-decode as a Jacobi fixed-point iteration (exact).
 
@@ -376,11 +377,11 @@ def subtalker_generate_jacobi(
         if vec_sampling is not None:
             from qwen_tts_tpu.ops.sampling_vec import sample_token_vec
 
-            def draw(logits_i, i):
-                return sample_token_vec(logits_i, vec_sampling, pos_rngs[i + 1])
+            def draw(logits_i, key):
+                return sample_token_vec(logits_i, vec_sampling, key)
         else:
-            def draw(logits_i, i):
-                return sample_token(logits_i, sampling, pos_rngs[i + 1])
+            def draw(logits_i, key):
+                return sample_token(logits_i, sampling, key)
 
     positions = jnp.broadcast_to(jnp.arange(g)[None], (b, g))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -427,9 +428,11 @@ def subtalker_generate_jacobi(
             ).astype(jnp.float32)
         if do_sample:
             # Same warp chain + categorical draw as the sequential step,
-            # one static call per position with that position's key.
-            new = jnp.stack(
-                [draw(logits[:, i], i) for i in range(g - 1)], axis=1
+            # vmapped over positions (per-key threefry streams are
+            # batching-invariant, so this stays bit-equal to per-position
+            # calls — pinned by tests) to batch the 15 top-k sorts.
+            new = jax.vmap(draw, in_axes=(1, 0), out_axes=1)(
+                logits, pos_rngs[1:g]
             )
         else:
             new = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, G-1]
@@ -453,9 +456,15 @@ def subtalker_generate_jacobi(
         codes, _, it = carry
         return forward(codes), codes, it + 1
 
-    codes, _, _ = jax.lax.while_loop(
+    codes, _, iters = jax.lax.while_loop(
         cond, body, (codes0, codes0, jnp.zeros((), jnp.int32))
     )
+    if return_iters:
+        # iters counts forward() calls including the final verification pass
+        # (codes unchanged) — "converged in k" shows up as k+1 here unless
+        # the G-1 cap hit first. A checkpoint property: acceptance.py probes
+        # it on real weights to decide whether Jacobi serving pays.
+        return codes, iters
     return codes
 
 

@@ -227,6 +227,40 @@ def main() -> int:
     stage("bench", do_bench,
           skip=None if on_device else "no accelerator (CPU run)")
 
+    # ---- jacobi ----------------------------------------------------------
+    # Convergence of the Jacobi sub-talker decode is a CHECKPOINT property
+    # (random weights run ~G-1 iterations; trained weights should converge
+    # in a few). Rerun the b8 greedy bench under the gate: the trace must be
+    # identical (fixed point == sequential trace) and the RTF delta tells
+    # whether Jacobi serving pays on these weights.
+    def do_jacobi():
+        from qwen_tts_tpu.generate import build_prompt
+
+        prompt = build_prompt(
+            m.talker_params, m.cfg, ids, language=args.language,
+            speaker=args.speaker, st_params=m.subtalker_params,
+        )
+        gp = _greedy_params(args.max_tokens)
+        seq_codes, _ = m.generate_codes_from_prompts([prompt] * 8, gp)
+        os.environ["QTTS_ST_JACOBI"] = "1"
+        try:
+            m.generate_codes_from_prompts([prompt] * 8, gp)  # warmup
+            t0 = time.perf_counter()
+            jac_codes, _ = m.generate_codes_from_prompts([prompt] * 8, gp)
+            wavs = m.decode_codes(jac_codes)
+            dt = time.perf_counter() - t0
+        finally:
+            os.environ.pop("QTTS_ST_JACOBI", None)
+        for s, j in zip(seq_codes, jac_codes):
+            assert np.array_equal(np.asarray(s), np.asarray(j)), \
+                "Jacobi trace diverged from the sequential scan"
+        audio = sum(w.shape[0] for w in wavs) / m.sample_rate
+        return (f"trace exact; b8 RTF {audio / dt:.1f}x under adaptive "
+                f"Jacobi (compare to bench stage)")
+
+    stage("jacobi", do_jacobi,
+          skip=None if on_device else "no accelerator (CPU run)")
+
     # ---- streaming -------------------------------------------------------
     def do_streaming():
         from qwen_tts_tpu.generate import build_prompt

@@ -97,9 +97,34 @@ def main():
                             env={"QTTS_ST_SPLIT": "1"}),
         "b32_stsplit": dict(batch=32, kv_int8=False,
                             env={"QTTS_ST_SPLIT": "1"}),
+        # Jacobi sub-talker decode. ITERS=2 pins a static iteration count —
+        # a THROUGHPUT PROJECTION for trained weights that converge in <=2
+        # iterations (random bench weights don't: the trace is approximate,
+        # the wall time is real). Bare jac = adaptive while_loop, always
+        # exact, worst-case ~G-1 iterations on random weights.
+        "b96_jac2": dict(batch=96, kv_int8=False,
+                         env={"QTTS_ST_JACOBI": "1",
+                              "QTTS_ST_JACOBI_ITERS": "2"},
+                         note="projection: trained-weights 2-iter convergence"),
+        "b32_jac2": dict(batch=32, kv_int8=False,
+                         env={"QTTS_ST_JACOBI": "1",
+                              "QTTS_ST_JACOBI_ITERS": "2"},
+                         note="projection: trained-weights 2-iter convergence"),
+        "b96_jac": dict(batch=96, kv_int8=False,
+                        env={"QTTS_ST_JACOBI": "1"},
+                        note="exact adaptive Jacobi; random-weights worst case"),
     }
 
     report = {}
+    if os.path.exists(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_headline_sweep.json")):
+        try:
+            with open(os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+                    "bench_headline_sweep.json")) as f:
+                report = json.load(f)
+        except Exception:
+            report = {}
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_headline_sweep.json")
     for name in args.configs.split(","):
@@ -148,6 +173,8 @@ def main():
                 "rtf": round(audio / wall, 2),
                 "ms_per_frame": round(wall / FRAMES * 1e3, 3),
             }
+            if "note" in c:
+                report[name]["note"] = c["note"]
         except Exception as exc:
             report[name] = {"batch": batch, "error": f"{type(exc).__name__}: "
                             f"{str(exc)[:150]}"}
