@@ -477,9 +477,9 @@ def _segment_loop(body, state: DecodeState, segment: int, step_limit, g: int):
 @partial(
     jax.jit,
     static_argnames=("talker_cfg", "sampling", "st_sampling", "max_cache_len",
-                     "first_segment", "kv_int8"),
+                     "first_segment", "kv_int8", "st_env"),
 )
-def init_decode(
+def _init_decode_jit(
     talker_params: dict,
     st_params: dict,
     talker_cfg: TalkerConfig,
@@ -496,6 +496,7 @@ def init_decode(
     vec_sampling: Optional[VecSampling] = None,
     st_vec_sampling: Optional[VecSampling] = None,
     kv_int8: bool = False,
+    st_env: tuple = (),
 ):
     """Prefill + first-token sample; returns the carried decode state.
 
@@ -552,12 +553,25 @@ def init_decode(
                          talker_cfg.num_code_groups)
 
 
+def init_decode(*args, **kwargs):
+    """Public entry for :func:`_init_decode_jit`.
+
+    Injects the QTTS_ST_* env-gate snapshot as a static cache key: the gates
+    (Jacobi / split / unroll / kv8) are read at *trace* time inside the
+    program body, so without this a same-shape call after an env flip would
+    silently re-execute the stale cached program (the HLO is unchanged when
+    the env is unchanged, so the persistent compile cache is unaffected)."""
+    kwargs.setdefault("st_env", st_mod.st_env_token())
+    return _init_decode_jit(*args, **kwargs)
+
+
 @partial(
     jax.jit,
-    static_argnames=("talker_cfg", "sampling", "st_sampling", "segment"),
+    static_argnames=("talker_cfg", "sampling", "st_sampling", "segment",
+                     "st_env"),
     donate_argnames=("state",),
 )
-def decode_segment(
+def _decode_segment_jit(
     talker_params: dict,
     st_params: dict,
     talker_cfg: TalkerConfig,
@@ -570,6 +584,7 @@ def decode_segment(
     step_limit: Optional[jnp.ndarray] = None,
     vec_sampling: Optional[VecSampling] = None,
     st_vec_sampling: Optional[VecSampling] = None,
+    st_env: tuple = (),
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """Run up to ``segment`` frames, resumable. Returns (state, seg_codes
     [B, segment, G]); valid rows/frames are derivable from num_gen deltas.
@@ -589,6 +604,13 @@ def decode_segment(
     )
     return _segment_loop(body, state, segment, step_limit,
                          talker_cfg.num_code_groups)
+
+
+def decode_segment(*args, **kwargs):
+    """Public entry for :func:`_decode_segment_jit`; see :func:`init_decode`
+    for why the env-gate snapshot rides along as a static cache key."""
+    kwargs.setdefault("st_env", st_mod.st_env_token())
+    return _decode_segment_jit(*args, **kwargs)
 
 
 def generate_codes(

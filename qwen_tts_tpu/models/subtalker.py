@@ -38,6 +38,26 @@ from qwen_tts_tpu.ops.norms import rms_norm
 from qwen_tts_tpu.ops.rope import rope_cos_sin
 from qwen_tts_tpu.ops.sampling import SamplingConfig, sample_token
 
+# Env gates read at TRACE time inside the decode-path program bodies. Any
+# jitted entry whose trace consumes them must include st_env_token() in its
+# static cache key, or a same-shape call after an env flip re-executes the
+# stale cached program (jit caches do not key on os.environ).
+_ST_ENV_KEYS = (
+    "QTTS_ST_JACOBI",
+    "QTTS_ST_JACOBI_ITERS",
+    "QTTS_ST_SPLIT",
+    "QTTS_ST_KV8",
+    "QTTS_ST_UNROLL",
+    "QTTS_ST_UNROLL_LAYERS",
+)
+
+
+def st_env_token() -> tuple:
+    """Hashable snapshot of the sub-talker decode env gates (a jit cache key)."""
+    import os
+
+    return tuple(os.environ.get(k) for k in _ST_ENV_KEYS)
+
 
 def subtalker_dims(cfg: CodePredictorConfig) -> TrunkDims:
     return TrunkDims(

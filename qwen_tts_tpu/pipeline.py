@@ -31,6 +31,7 @@ from qwen_tts_tpu.generate import (
 )
 from qwen_tts_tpu.io.loader import load_checkpoint
 from qwen_tts_tpu.models import codec as codec_mod
+from qwen_tts_tpu.models import subtalker as st_mod
 
 MaybeList = Union[str, List[str]]
 
@@ -44,12 +45,12 @@ _HARD_DEFAULTS = dict(
 @partial(
     jax.jit,
     static_argnames=("talker_cfg", "dec_cfg", "sampling", "st_sampling",
-                     "max_cache_len", "first_segment", "kv_int8"),
+                     "max_cache_len", "first_segment", "kv_int8", "st_env"),
 )
-def _first_packet_program(
+def _first_packet_program_jit(
     talker_params, st_params, codec_params, talker_cfg, dec_cfg,
     embeds, mask, trailing, *, sampling, st_sampling, max_cache_len, rng,
-    first_segment, step_limit, kv_int8=False,
+    first_segment, step_limit, kv_int8=False, st_env=(),
 ):
     """Prefill + first decode segment + codec decode of that segment as ONE
     device program. Over the axon tunnel every dispatch costs ~20-25 ms, so
@@ -67,6 +68,12 @@ def _first_packet_program(
     window = jnp.maximum(seg[:, :first_segment, : dec_cfg.num_quantizers], 0)
     wav = codec_mod.codec_decode(codec_params, dec_cfg, window)
     return state, seg, wav
+
+
+def _first_packet_program(*args, **kwargs):
+    """Public entry; see generate.init_decode for the st_env cache key."""
+    kwargs.setdefault("st_env", st_mod.st_env_token())
+    return _first_packet_program_jit(*args, **kwargs)
 
 
 class Qwen3TTSModel:

@@ -78,6 +78,7 @@ def main():
 
     CONFIGS = {
         "b96": dict(batch=96, kv_int8=False, env={}),
+        "b32": dict(batch=32, kv_int8=False, env={}),
         "b96_kv8": dict(batch=96, kv_int8=True, env={}),
         "b112_kv8": dict(batch=112, kv_int8=True, env={}),
         "b128_kv8_rolled": dict(batch=128, kv_int8=True,
@@ -113,6 +114,16 @@ def main():
         "b96_jac": dict(batch=96, kv_int8=False,
                         env={"QTTS_ST_JACOBI": "1"},
                         note="exact adaptive Jacobi; random-weights worst case"),
+        "b32_jac1": dict(batch=32, kv_int8=False,
+                         env={"QTTS_ST_JACOBI": "1",
+                              "QTTS_ST_JACOBI_ITERS": "1"},
+                         note="projection: 1-iter floor (in-pipeline Jacobi "
+                              "best case)"),
+        "b96_jac1": dict(batch=96, kv_int8=False,
+                         env={"QTTS_ST_JACOBI": "1",
+                              "QTTS_ST_JACOBI_ITERS": "1"},
+                         note="projection: 1-iter floor (in-pipeline Jacobi "
+                              "best case)"),
     }
 
     report = {}

@@ -196,6 +196,66 @@ def test_jacobi_gate_sampled_decode_is_trace_exact(monkeypatch):
     np.testing.assert_array_equal(ref, jac)
 
 
+def test_env_gate_flip_retraces_cached_programs(monkeypatch):
+    """The QTTS_ST_* gates are read at trace time, so flipping one between
+    same-shape calls in one process MUST force a retrace (init_decode &co
+    carry st_env_token() as a static cache key). Proof: a pinned 1-iteration
+    Jacobi run on random weights is NOT converged, so its trace must differ
+    from the sequential program that was already cached — a stale-cache bug
+    would silently return the sequential trace again."""
+    from qwen_tts_tpu.generate import (
+        GenerationParams,
+        batch_prompts,
+        build_prompt,
+        generate_codes,
+    )
+    from qwen_tts_tpu.models import talker as talker_mod
+
+    full_cfg = tiny_tts_config()
+    cfg = full_cfg.talker
+    rng = jax.random.PRNGKey(0)
+    tp = talker_mod.init_talker_params(rng, cfg)
+    sp = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 1), cfg.code_predictor, cfg.hidden_size
+    )
+    prompts = [
+        build_prompt(
+            tp, full_cfg,
+            np.array([1, 2, 3, 10 + i, 11, 12, 4, 5, 1, 2, 3], np.int32),
+            language="english", speaker="aiden",
+        )
+        for i in range(2)
+    ]
+    embeds, pmask, trailing, _ = batch_prompts(prompts)
+    gp = GenerationParams(
+        max_new_tokens=4, min_new_tokens=4, do_sample=False,
+        subtalker_do_sample=False, repetition_penalty=1.0,
+    )
+
+    def run():
+        out = generate_codes(
+            tp, sp, cfg, jnp.asarray(embeds), jnp.asarray(pmask),
+            jnp.asarray(trailing), sampling=gp.talker_sampling(),
+            st_sampling=gp.subtalker_sampling(),
+            max_new_tokens=gp.max_new_tokens, rng=jax.random.PRNGKey(0),
+        )
+        return np.asarray(out.codes)
+
+    ref = run()
+    monkeypatch.setenv("QTTS_ST_JACOBI", "1")
+    monkeypatch.setenv("QTTS_ST_JACOBI_ITERS", "1")
+    one_iter = run()
+    assert not np.array_equal(ref, one_iter), (
+        "pinned 1-iter Jacobi returned the sequential trace — the env flip "
+        "did not retrace (stale jit cache)"
+    )
+    monkeypatch.delenv("QTTS_ST_JACOBI_ITERS")
+    adaptive = run()  # adaptive Jacobi is exact: back to the sequential trace
+    np.testing.assert_array_equal(ref, adaptive)
+    monkeypatch.delenv("QTTS_ST_JACOBI")
+    np.testing.assert_array_equal(ref, run())
+
+
 def test_jacobi_matches_sequential_vec_sampled():
     """Per-row VecSampling (continuous-batching path): mixed greedy/sampled
     rows with heterogeneous warp params stay bit-equal to the sequential
