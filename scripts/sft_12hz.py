@@ -28,6 +28,9 @@ def main() -> int:
     p.add_argument("--num-epochs", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--resume", default=None, metavar="STATE_DIR",
+                   help="resume from a train-state snapshot "
+                        "(written to OUTPUT/train_state each epoch)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -76,8 +79,18 @@ def main() -> int:
     opt_state = tx.init(params)
     train_step = make_train_step(cfg.talker, tx)
 
-    step = 0
-    for epoch in range(args.num_epochs):
+    from qwen_tts_tpu.training.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+
+    step, start_epoch = 0, 0
+    if args.resume:
+        params, opt_state, meta = load_train_state(args.resume, params, tx)
+        step, start_epoch = meta["step"], meta["epoch"]
+        print(f"resumed from {args.resume} (epoch {start_epoch}, step {step})")
+
+    for epoch in range(start_epoch, args.num_epochs):
         order = np.random.default_rng(epoch).permutation(len(examples))
         for i in range(0, len(order), args.batch_size):
             batch_ex = [examples[j] for j in order[i : i + args.batch_size]]
@@ -99,6 +112,13 @@ def main() -> int:
             speaker_slot=min(3000, cfg.talker.vocab_size - 1),
         )
         print(f"saved {out_dir}")
+        # Resumable train state (params + optimizer + counters): the export
+        # above is the *inference* checkpoint; this snapshot is what
+        # --resume restarts from after an interruption.
+        state_dir = os.path.join(args.output_model_path, "train_state")
+        save_train_state(state_dir, params, opt_state,
+                         step=step, epoch=epoch + 1)
+        print(f"saved train state {state_dir}")
     return 0
 
 
