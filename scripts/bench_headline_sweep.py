@@ -124,6 +124,12 @@ def main():
                               "QTTS_ST_JACOBI_ITERS": "1"},
                          note="projection: 1-iter floor (in-pipeline Jacobi "
                               "best case)"),
+        # Codec batch-split granularity: b32 slices pay 3 dispatches per
+        # 128-frame chunk at b96 (~0.6 ms/frame of tunnel overhead); b48
+        # halves the dispatch count if the larger vocoder buffers still fit.
+        "b96_codec48": dict(batch=96, kv_int8=False, env={}, codec_mb=48),
+        "b96_codec96": dict(batch=96, kv_int8=False, env={}, codec_mb=96,
+                            note="no split — expected HBM OOM probe"),
     }
 
     report = {}
@@ -166,7 +172,7 @@ def main():
                     codec_cfg.codebook_size - 1)
                 wav = codec_mod.chunked_decode(
                     codec_params, codec_cfg, codes, decode_fn=decode_jit,
-                    max_batch=32)
+                    max_batch=c.get("codec_mb", 32))
                 return jax.block_until_ready(wav)
 
             print(f"[sweep] {name}: warmup…", file=sys.stderr, flush=True)

@@ -80,6 +80,41 @@ def test_continuous_matches_solo_greedy(model):
     assert engine.stats["requests"] == 2
 
 
+def test_continuous_engine_jacobi_gate_token_exact(model, monkeypatch):
+    """QTTS_ST_JACOBI=1 on the SERVING engine (the deployment surface where
+    the option would actually be enabled): adaptive Jacobi through the
+    per-row VecSampling path must keep the greedy slot token-exact vs its
+    solo SEQUENTIAL trace while a sampled slot decodes concurrently.
+    (Sampled engine traces are scheduling-dependent — the frame rng folds in
+    the engine's global tick — so exactness is asserted where it is defined:
+    the greedy row, against the no-jacobi solo reference.)"""
+    p_greedy = _prompt(model, [1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3])
+    p_sampled = _prompt(model, [1, 2, 3, 20, 21, 22, 23, 24, 4, 5, 1, 2, 3])
+    greedy = _greedy(5)
+    sampled = dataclasses.replace(
+        greedy, do_sample=True, subtalker_do_sample=True, temperature=1.1,
+        top_k=8, seed=13,
+    )
+    solo, _ = model.generate_codes_from_prompts([p_greedy], greedy)
+    want = model.decode_codes(solo)[0]
+
+    monkeypatch.setenv("QTTS_ST_JACOBI", "1")
+    engine = ContinuousBatchingEngine(
+        model, num_slots=2, segment_frames=2, max_new_tokens=16,
+        prefill_bucket=32, trailing_cap=32,
+    ).start()
+    try:
+        fut_s = engine.submit_prompt(p_sampled, sampled)
+        fut_g = engine.submit_prompt(p_greedy, greedy)
+        wav_s = fut_s.result(timeout=300)
+        wav_g = fut_g.result(timeout=300)
+    finally:
+        engine.stop()
+    up = model.cfg.codec.decode_upsample_rate
+    assert wav_s.shape[0] == 5 * up and np.isfinite(wav_s).all()
+    np.testing.assert_allclose(wav_g, want, atol=1e-5)
+
+
 def test_heterogeneous_sampling_per_slot(model):
     """A greedy request and a sampled request decode concurrently; the greedy
     slot must still match its solo greedy trace (per-row VecSampling)."""
