@@ -31,6 +31,10 @@ def main() -> int:
     p.add_argument("--resume", default=None, metavar="STATE_DIR",
                    help="resume from a train-state snapshot "
                         "(written to OUTPUT/train_state each epoch)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh axis (0 = single device)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis (colwise/rowwise plan)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -71,6 +75,22 @@ def main() -> int:
         if e.speaker_embedding is not None and target_speaker_embedding is None:
             target_speaker_embedding = e.speaker_embedding
 
+    # Optional ("dp","tp") mesh: params sharded per the realized TP plan
+    # (colwise/rowwise, parallel/mesh.py), batches sharded over dp. On a pod,
+    # run under init_multihost() and the same mesh lays dp over DCN.
+    mesh = None
+    dp = max(args.dp, 1)
+    if args.dp or args.tp > 1:
+        from qwen_tts_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            shard_params,
+        )
+
+        mesh = make_mesh(dp * args.tp, tp=args.tp)
+        talker, subtalker = shard_params(mesh, talker, subtalker)
+        print(f"mesh: dp={dp} tp={args.tp} over {dp * args.tp} devices")
+
     params = {"talker": talker, "subtalker": subtalker}
     tx = optax.chain(
         optax.clip_by_global_norm(args.grad_clip),
@@ -78,6 +98,29 @@ def main() -> int:
     )
     opt_state = tx.init(params)
     train_step = make_train_step(cfg.talker, tx)
+
+    def shard_batch(batch):
+        """Pad rows to a dp multiple (fully-masked rows are loss-neutral:
+        the CE is mask-normalized) and lay the batch over the dp axis."""
+        if mesh is None:
+            return batch
+        n = (-batch.pad_mask.shape[0]) % dp
+        if n:
+            def pad(x, fill):
+                ext = np.full((n,) + x.shape[1:], fill, np.asarray(x).dtype)
+                return np.concatenate([np.asarray(x), ext], axis=0)
+
+            batch = type(batch)(
+                inputs_embeds=pad(batch.inputs_embeds, 0),
+                pad_mask=pad(batch.pad_mask, False),
+                codec0_labels=pad(batch.codec0_labels, -100),
+                group_labels=pad(batch.group_labels, 0),
+                frame_mask=pad(batch.frame_mask, False),
+            )
+        return type(batch)(*[
+            jax.device_put(np.asarray(x), batch_sharding(mesh, np.ndim(x)))
+            for x in batch
+        ])
 
     from qwen_tts_tpu.training.checkpoint import (
         load_train_state,
@@ -95,6 +138,7 @@ def main() -> int:
         for i in range(0, len(order), args.batch_size):
             batch_ex = [examples[j] for j in order[i : i + args.batch_size]]
             batch = collate(batch_ex, cfg, params["talker"], params["subtalker"])
+            batch = shard_batch(batch)
             params, opt_state, loss, aux = train_step(params, opt_state, batch)
             if step % 10 == 0:
                 print(f"epoch {epoch} | step {step} | "
