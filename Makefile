@@ -4,7 +4,7 @@
 PY ?= python
 
 .PHONY: all native sanitize test test-fast validate-eos benchmark benchmark-gate \
-        bench-streaming clean
+        bench-streaming soak clean
 
 all: native
 
@@ -51,6 +51,10 @@ acceptance:
 # Perf report on the current JAX platform (TPU by default).
 benchmark:
 	$(PY) scripts/benchmark.py
+
+# Real-TPU continuous-serving soak (mixed load, cancels, 2 waves -> JSON).
+soak:
+	$(PY) scripts/soak_tpu.py
 
 # Regression gate vs a stored baseline report.
 BENCH_BASELINE ?= bench_baseline.json

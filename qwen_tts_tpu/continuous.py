@@ -369,7 +369,11 @@ class ContinuousBatchingEngine:
             if req.stream_callback is not None:
                 req.future.set_result(np.zeros((0,), np.float32))
             else:
-                wav = self.model.decode_codes([merged])[0]
+                # Bucketed codec shape: heterogeneous request lengths must
+                # not each compile a fresh codec program (soak finding).
+                wav = self.model.decode_codes(
+                    [merged], bucket=max(32, self.segment_frames)
+                )[0]
                 up = self.model.cfg.codec.decode_upsample_rate
                 req.future.set_result(wav[req.ref_frames * up:])
         except Exception as exc:

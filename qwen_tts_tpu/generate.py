@@ -270,12 +270,16 @@ def _build_icl(
 
 
 def batch_prompts(
-    prompts: Sequence[Prompt], bucket: int = 32
+    prompts: Sequence[Prompt], bucket: int = 32,
+    trailing_bucket: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Left-pad prompts into a batch (modeling_qwen3_tts.py:2239-2269).
 
     Returns (embeds [B,S,D], pad_mask [B,S], trailing [B,T+1,D], lengths [B]).
-    S is rounded up to ``bucket`` so the prefill jit-cache stays small.
+    S is rounded up to ``bucket`` so the prefill jit-cache stays small;
+    ``trailing_bucket`` rounds the trailing-text axis the same way (pad rows
+    are tts_pad, which is exactly what the decode consumes past each row's
+    text — bucketing is semantics-free).
     """
     lengths = np.array([p.embeds.shape[0] for p in prompts])
     s = int(np.ceil(lengths.max() / bucket) * bucket)
@@ -289,6 +293,8 @@ def batch_prompts(
         mask[i, s - n :] = True
 
     t_max = max(p.trailing_text.shape[0] for p in prompts)
+    if trailing_bucket:
+        t_max = -(-t_max // trailing_bucket) * trailing_bucket
     trailing = np.zeros((b, t_max + 1, d), prompts[0].trailing_text.dtype)
     for i, p in enumerate(prompts):
         n = p.trailing_text.shape[0]
@@ -627,19 +633,28 @@ def generate_codes(
     rng: jax.Array,
     trim_last_on_budget: bool = True,
     kv_int8: bool = False,
+    step_limit: Optional[jnp.ndarray] = None,
 ) -> GenOutput:
     """Prefill + full AR loop — ONE device program (fused init + segment).
 
     ``trim_last_on_budget=False`` keeps all ``max_new_tokens`` frames on
     budget-exhausted rows (the C engine's --fixed-codec-tokens benchmark
     semantics, c/main.c:48; the Python reference drops the unexpanded final
-    frame — see below)."""
+    frame — see below).
+
+    ``step_limit`` (scalar or per-row [B], ≤ max_new_tokens) is a DYNAMIC
+    frame budget: the program compiles once at the ``max_new_tokens`` ceiling
+    and serves any smaller per-request budget without a new XLA compile (the
+    serving engines decode heterogeneous max_new requests through one
+    program this way)."""
     s = inputs_embeds.shape[1]
     state, codes = init_decode(
         talker_params, st_params, talker_cfg, inputs_embeds, pad_mask,
         sampling=sampling, st_sampling=st_sampling,
         max_cache_len=s + max_new_tokens, rng=rng,
         first_segment=max_new_tokens, trailing=trailing, kv_int8=kv_int8,
+        step_limit=(None if step_limit is None
+                    else jnp.asarray(step_limit, jnp.int32)),
     )
     # Budget-exhausted rows lose their final frame: the reference expands a
     # step's code groups lazily at the NEXT talker forward, so when generation
@@ -648,7 +663,9 @@ def generate_codes(
     # hidden_states carry one frame per *forward*, prefill excluded).
     num_gen = state.num_gen
     if trim_last_on_budget:
+        limit = (jnp.int32(max_new_tokens) if step_limit is None
+                 else jnp.asarray(step_limit, jnp.int32))
         num_gen = jnp.where(
-            state.eos, num_gen, jnp.minimum(num_gen, max_new_tokens - 1)
+            state.eos, num_gen, jnp.minimum(num_gen, limit - 1)
         )
     return GenOutput(codes, num_gen, state.eos)

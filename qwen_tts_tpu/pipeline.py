@@ -253,9 +253,30 @@ class Qwen3TTSModel:
     def generate_codes_from_prompts(
         self, prompts: Sequence[Prompt], params: GenerationParams,
         *, trim_last_on_budget: bool = True,
+        step_limit: Optional[Sequence[int]] = None,
+        max_new_ceiling: Optional[int] = None,
+        pad_batch_to: Optional[int] = None,
+        trailing_bucket: Optional[int] = None,
     ) -> Tuple[List[np.ndarray], Dict[str, Any]]:
-        """Run the jitted decode loop; returns per-utterance [T_i, G] codes."""
-        embeds, mask, trailing, _ = batch_prompts(prompts)
+        """Run the jitted decode loop; returns per-utterance [T_i, G] codes.
+
+        The keyword shape knobs exist for SERVING: a window engine that lets
+        each request choose its own max_new_tokens / batch assembles windows
+        of varying (batch, budget, trailing) shapes, and every unique shape
+        of the decode while-loop is an XLA compile measured in MINUTES on
+        TPU. ``max_new_ceiling`` compiles one program at the engine budget
+        and serves any smaller per-row ``step_limit`` dynamically;
+        ``pad_batch_to`` pads the window with copies of row 0 pinned to a
+        1-frame budget (discarded on return); ``trailing_bucket`` rounds the
+        trailing-text axis (pad rows are tts_pad — semantics-free)."""
+        n_real = len(prompts)
+        if pad_batch_to and pad_batch_to > n_real:
+            prompts = list(prompts) + [prompts[0]] * (pad_batch_to - n_real)
+            limits = list(step_limit) if step_limit is not None else \
+                [params.max_new_tokens] * n_real
+            step_limit = limits + [1] * (pad_batch_to - n_real)
+        embeds, mask, trailing, _ = batch_prompts(
+            prompts, trailing_bucket=trailing_bucket)
         out = generate_codes(
             self.talker_params,
             self.subtalker_params,
@@ -265,20 +286,30 @@ class Qwen3TTSModel:
             jnp.asarray(trailing, self.talker_params["norm"].dtype),
             sampling=params.talker_sampling(),
             st_sampling=params.subtalker_sampling(),
-            max_new_tokens=params.max_new_tokens,
+            max_new_tokens=max_new_ceiling or params.max_new_tokens,
             rng=jax.random.PRNGKey(params.seed),
             trim_last_on_budget=trim_last_on_budget,
             kv_int8=self.kv_int8,
+            step_limit=(None if step_limit is None
+                        else np.asarray(step_limit, np.int32)),
         )
-        codes = np.asarray(out.codes)
-        num_gen = np.asarray(out.num_gen)
+        codes = np.asarray(out.codes)[:n_real]
+        num_gen = np.asarray(out.num_gen)[:n_real]
         per_row = [codes[i, : num_gen[i]] for i in range(codes.shape[0])]
-        info = {"num_gen": num_gen, "stopped": np.asarray(out.stopped)}
+        info = {"num_gen": num_gen, "stopped": np.asarray(out.stopped)[:n_real]}
         return per_row, info
 
-    def decode_codes(self, codes_list: Sequence[np.ndarray]) -> List[np.ndarray]:
+    def decode_codes(self, codes_list: Sequence[np.ndarray], *,
+                     bucket: Optional[int] = None) -> List[np.ndarray]:
         """[T_i, G] codes → waveforms, batched with -1 padding then trimmed by
-        true length (reference: modeling_...v2.py:993-1024)."""
+        true length (reference: modeling_...v2.py:993-1024).
+
+        ``bucket`` rounds the padded length up to a multiple, bounding the
+        number of compiled codec shapes under heterogeneous request lengths
+        (serving: every unique length is otherwise a fresh XLA compile —
+        measured at ~6.7 s/request of compile stall in the TPU soak). The
+        codec is causal (sliding-window causal attention + causal convs), so
+        right-padding never changes the trimmed region."""
         if self.codec_params is None:
             raise RuntimeError("codec decoder weights not loaded")
         dec_cfg = self.cfg.codec.decoder
@@ -287,6 +318,8 @@ class Qwen3TTSModel:
         if not lengths or max(lengths) == 0:
             return [np.zeros((0,), np.float32) for _ in codes_list]
         t_max = max(lengths)
+        if bucket:
+            t_max = -(-t_max // bucket) * bucket
         batch = np.full((len(codes_list), t_max, nq), -1, np.int32)
         for i, c in enumerate(codes_list):
             batch[i, : c.shape[0]] = c[:, :nq]

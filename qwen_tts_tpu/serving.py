@@ -172,7 +172,8 @@ class ServingEngine:
             if self._held:
                 req = None
                 for i, h in enumerate(self._held):
-                    if h.params == first.params:
+                    if self._window_key(h.params) == self._window_key(
+                            first.params):
                         req = self._held.pop(i)
                         break
                 if req is None:
@@ -192,7 +193,7 @@ class ServingEngine:
                 break
             if drop_if_cancelled(req):
                 continue
-            if req.params == first.params:
+            if self._window_key(req.params) == self._window_key(first.params):
                 batch.append(req)
             else:
                 # Different GenerationParams can't share a window (params are
@@ -201,16 +202,40 @@ class ServingEngine:
                 self._held.append(req)
         return batch
 
+    @staticmethod
+    def _window_key(params):
+        """Window compatibility: sampling controls are static under jit, but
+        max_new_tokens is served DYNAMICALLY (per-row step_limit under one
+        ceiling-compiled program), so requests differing only in budget
+        share a window."""
+        import dataclasses
+
+        return dataclasses.replace(params, max_new_tokens=0)
+
     def _run(self):
         while self._running:
             batch = self._collect_batch()
             if not batch:
                 continue
             try:
-                # _collect_batch guarantees the window shares one params set.
-                params = batch[0].params
+                # _collect_batch guarantees the window shares one SAMPLING
+                # params set; budgets vary per request. Shape hygiene: every
+                # unique decode-loop shape is a minutes-long XLA compile on
+                # TPU, so the window decodes at the engine's fixed budget
+                # ceiling with per-row dynamic step_limit, pads the batch to
+                # a power of two, and buckets the trailing-text axis.
+                import dataclasses as _dc
+
+                ceiling = self.max_new_tokens
+                params = _dc.replace(batch[0].params, max_new_tokens=ceiling)
+                limits = [min(r.params.max_new_tokens, ceiling)
+                          for r in batch]
+                pad_to = 1 << (len(batch) - 1).bit_length()
                 codes, _info = self.model.generate_codes_from_prompts(
-                    [r.prompt for r in batch], params
+                    [r.prompt for r in batch], params,
+                    step_limit=limits, max_new_ceiling=ceiling,
+                    pad_batch_to=min(pad_to, self.max_batch),
+                    trailing_bucket=16,
                 )
                 # ICL voice clone: ref codes join the codec decode as leading
                 # context, their audio is cut (qwen3_tts_model.py:612-631).
@@ -223,7 +248,9 @@ class ServingEngine:
                     else:
                         merged.append(c)
                         cut.append(0)
-                wavs = self.model.decode_codes(merged)
+                # Bucketed codec shape — one compiled program family under
+                # heterogeneous request lengths (see decode_codes docstring).
+                wavs = self.model.decode_codes(merged, bucket=32)
                 up = self.model.cfg.codec.decode_upsample_rate
                 for req, wav, k in zip(batch, wavs, cut):
                     self._req_by_future.pop(id(req.future), None)

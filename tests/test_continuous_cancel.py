@@ -130,14 +130,20 @@ def test_poisoned_request_does_not_stall_others(model):
 
 def test_streamed_cancel_sends_final_callback(model):
     p = _prompt(model, [1, 2, 3, 10, 11, 4, 5, 1, 2, 3])
-    engine = _engine(model)
+    # Budget large enough that the decode cannot FINISH before the cancel
+    # lands (a fixed sleep raced warm-cache runs on a fast box); cancel as
+    # soon as the first streamed chunk proves the request is mid-flight.
+    engine = _engine(model, max_new_tokens=256)
     events = []
     try:
         fut = engine.submit_prompt(
-            p, _greedy(64),
+            p, _greedy(256),
             stream_callback=lambda wav, done: events.append((wav.size, done)),
         )
-        time.sleep(0.5)
+        deadline = time.time() + 120
+        while not events and time.time() < deadline:
+            time.sleep(0.01)
+        assert events, "no streamed chunk arrived"
         assert engine.cancel(fut)
         with pytest.raises(CancelledError):
             fut.result(timeout=300)

@@ -100,6 +100,17 @@ def test_greedy_trace_delta_documented():
     assert first_mismatch >= 1, "int8 KV flipped the very first frame"
 
 
+def test_kv_int8_jacobi_combo_trace_exact(monkeypatch):
+    """Mode composition: the Jacobi sub-talker gate under an int8 talker KV
+    cache must reproduce the kv_int8 SEQUENTIAL trace exactly (the two
+    options touch disjoint state — talker cache vs sub-talker schedule)."""
+    seq, n_seq = _tiny_generate(True)
+    monkeypatch.setenv("QTTS_ST_JACOBI", "1")
+    jac, n_jac = _tiny_generate(True)
+    np.testing.assert_array_equal(seq, jac)
+    np.testing.assert_array_equal(n_seq, n_jac)
+
+
 @pytest.fixture(scope="module")
 def model(tmp_path_factory):
     from qwen_tts_tpu.pipeline import Qwen3TTSModel

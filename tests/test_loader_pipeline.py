@@ -105,6 +105,27 @@ def test_pipeline_end_to_end_from_disk(ckpt, tmp_path):
         np.testing.assert_allclose(back, wavs[0], atol=1e-3)
 
 
+def test_decode_codes_bucketed_matches_exact(ckpt):
+    """bucket= pads the codec input length to a multiple (bounding compiled
+    serving shapes); the codec is causal, so the trimmed waveform must equal
+    the exact-length decode for every row length."""
+    model_dir, cfg = ckpt
+    model = Qwen3TTSModel.from_pretrained(
+        model_dir, talker_dtype=jnp.float32, load_tokenizer=False
+    )
+    rng = np.random.default_rng(0)
+    nq = cfg.codec.decoder.num_quantizers
+    codes = [
+        rng.integers(0, cfg.codec.decoder.codebook_size, (t, nq)).astype(np.int32)
+        for t in (3, 7, 5)
+    ]
+    exact = model.decode_codes(codes)
+    bucketed = model.decode_codes(codes, bucket=8)
+    for e, b in zip(exact, bucketed):
+        assert e.shape == b.shape
+        np.testing.assert_allclose(e, b, atol=1e-5)
+
+
 def test_voice_clone_icl_path(ckpt):
     model_dir, cfg = ckpt
     model = Qwen3TTSModel.from_pretrained(
