@@ -358,27 +358,39 @@ class ContinuousBatchingEngine:
         if not req.future.done():
             req.future.set_exception(exc)
 
-    def _finish(self, slot: int) -> None:
-        req = self._slot_req.pop(slot)
-        codes = self._slot_codes.pop(slot)
-        self._req_by_future.pop(id(req.future), None)
-        try:
-            merged = (np.concatenate(codes, axis=0) if codes
-                      else np.zeros((0, self.model.cfg.talker.num_code_groups),
-                                    np.int32))
+    def _finish(self, slots) -> None:
+        """Resolve finished slots; non-streaming wavs decode as ONE batched
+        codec call (slots often finish together — one dispatch instead of
+        one per request), padded to a power-of-two batch and a bucketed
+        length so serving shapes stay bounded (soak finding)."""
+        reqs, merged_list = [], []
+        g = self.model.cfg.talker.num_code_groups
+        for slot in slots:
+            req = self._slot_req.pop(slot)
+            codes = self._slot_codes.pop(slot)
+            self._req_by_future.pop(id(req.future), None)
             if req.stream_callback is not None:
                 req.future.set_result(np.zeros((0,), np.float32))
-            else:
-                # Bucketed codec shape: heterogeneous request lengths must
-                # not each compile a fresh codec program (soak finding).
-                wav = self.model.decode_codes(
-                    [merged], bucket=max(32, self.segment_frames)
-                )[0]
-                up = self.model.cfg.codec.decode_upsample_rate
+                continue
+            reqs.append(req)
+            merged_list.append(np.concatenate(codes, axis=0) if codes
+                               else np.zeros((0, g), np.int32))
+        if not reqs:
+            return
+        try:
+            pad_to = 1 << (len(reqs) - 1).bit_length()
+            padded = merged_list + [np.zeros((1, g), np.int32)] * (
+                pad_to - len(reqs))
+            wavs = self.model.decode_codes(
+                padded, bucket=max(32, self.segment_frames)
+            )
+            up = self.model.cfg.codec.decode_upsample_rate
+            for req, wav in zip(reqs, wavs):
                 req.future.set_result(wav[req.ref_frames * up:])
         except Exception as exc:
-            if not req.future.done():
-                req.future.set_exception(exc)
+            for req in reqs:
+                if not req.future.done():
+                    req.future.set_exception(exc)
 
     def _run(self):
         while self._running:
@@ -433,6 +445,7 @@ class ContinuousBatchingEngine:
             self.stats["segments"] += 1
 
             limits = np.asarray(self._limits)
+            to_finish = []
             for slot in list(self._slot_req):
                 fresh = int(new_gen[slot] - prev_gen[slot])
                 done = bool(eos[slot]) or int(new_gen[slot]) >= int(limits[slot])
@@ -453,4 +466,6 @@ class ContinuousBatchingEngine:
                         if not req.future.done():
                             req.future.set_exception(exc)
                 if done:
-                    self._finish(slot)
+                    to_finish.append(slot)
+            if to_finish:
+                self._finish(to_finish)
