@@ -141,6 +141,9 @@ class ContinuousBatchingEngine:
         self.stream_context_frames = stream_context_frames
         self.stats = {"requests": 0, "segments": 0, "frames": 0,
                       "bucket_admits": {b: 0 for b in self.prefill_buckets}}
+        # Host shadow of per-slot num_gen (saves a device round trip per
+        # segment; see _run).
+        self._host_gen = np.zeros((num_slots,), np.int32)
 
         cfg = model.cfg.talker
         dtype = model.talker_params["norm"].dtype
@@ -304,6 +307,7 @@ class ContinuousBatchingEngine:
             jnp.int32(slot), sub, jnp.asarray(row), jnp.int32(limit),
         )
         self._slot_req[slot] = req
+        self._host_gen[slot] = 0  # fresh init_decode: no frames generated yet
         # ICL clone: ref codes enter the history as already-emitted frames —
         # codec left context only, audio never emitted (see _SlotRequest).
         self._slot_codes[slot] = (
@@ -430,7 +434,11 @@ class ContinuousBatchingEngine:
             if not self._slot_req:
                 continue
 
-            prev_gen = np.asarray(self._state.num_gen)
+            # prev_gen is a HOST shadow (admitted slots start at 0, segments
+            # advance it below) and the post-segment reads are ONE batched
+            # device_get: every separate blocking fetch costs a full ~25 ms
+            # round trip over the axon tunnel, and this loop used to make 4.
+            prev_gen = self._host_gen
             self._state, seg_codes = decode_segment(
                 self.model.talker_params, self.model.subtalker_params,
                 self.model.cfg.talker, self._state, self._trailing,
@@ -439,9 +447,10 @@ class ContinuousBatchingEngine:
                 segment=self.segment_frames, step_limit=self._limits,
                 vec_sampling=self._vec, st_vec_sampling=self._st_vec,
             )
-            new_gen = np.asarray(self._state.num_gen)
-            eos = np.asarray(self._state.eos)
-            seg = np.asarray(seg_codes)
+            new_gen, eos, seg = jax.device_get(
+                (self._state.num_gen, self._state.eos, seg_codes)
+            )
+            self._host_gen = np.asarray(new_gen).copy()
             self.stats["segments"] += 1
 
             limits = np.asarray(self._limits)
