@@ -140,7 +140,13 @@ class ContinuousBatchingEngine:
         self.trailing_cap = trailing_cap
         self.stream_context_frames = stream_context_frames
         self.stats = {"requests": 0, "segments": 0, "frames": 0,
-                      "bucket_admits": {b: 0 for b in self.prefill_buckets}}
+                      "bucket_admits": {b: 0 for b in self.prefill_buckets},
+                      # Cumulative wall per loop phase (seconds) — the
+                      # serving-cost breakdown (admit = init_decode +
+                      # slot insertion; segment = dispatch + batched fetch;
+                      # finish = codec decode + future resolution).
+                      "time_admit_s": 0.0, "time_segment_s": 0.0,
+                      "time_finish_s": 0.0, "time_emit_s": 0.0}
         # Host shadow of per-slot num_gen (saves a device round trip per
         # segment; see _run).
         self._host_gen = np.zeros((num_slots,), np.int32)
@@ -415,7 +421,9 @@ class ContinuousBatchingEngine:
                         req.future.set_exception(CancelledError())
                     continue
                 try:
+                    t0 = time.perf_counter()
                     self._admit(free.pop(0), req)
+                    self.stats["time_admit_s"] += time.perf_counter() - t0
                 except Exception as exc:
                     # Poisoned request: resolve its future, keep serving.
                     self._req_by_future.pop(id(req.future), None)
@@ -439,6 +447,7 @@ class ContinuousBatchingEngine:
             # device_get: every separate blocking fetch costs a full ~25 ms
             # round trip over the axon tunnel, and this loop used to make 4.
             prev_gen = self._host_gen
+            t_seg = time.perf_counter()
             self._state, seg_codes = decode_segment(
                 self.model.talker_params, self.model.subtalker_params,
                 self.model.cfg.talker, self._state, self._trailing,
@@ -451,6 +460,7 @@ class ContinuousBatchingEngine:
                 (self._state.num_gen, self._state.eos, seg_codes)
             )
             self._host_gen = np.asarray(new_gen).copy()
+            self.stats["time_segment_s"] += time.perf_counter() - t_seg
             self.stats["segments"] += 1
 
             limits = np.asarray(self._limits)
@@ -470,11 +480,15 @@ class ContinuousBatchingEngine:
                 req = self._slot_req[slot]
                 if req.stream_callback is not None and (fresh > 0 or done):
                     try:
+                        t0 = time.perf_counter()
                         self._stream_emit(slot, done)
+                        self.stats["time_emit_s"] += time.perf_counter() - t0
                     except Exception as exc:
                         if not req.future.done():
                             req.future.set_exception(exc)
                 if done:
                     to_finish.append(slot)
             if to_finish:
+                t0 = time.perf_counter()
                 self._finish(to_finish)
+                self.stats["time_finish_s"] += time.perf_counter() - t0
