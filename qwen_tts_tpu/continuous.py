@@ -45,15 +45,20 @@ from qwen_tts_tpu.ops.sampling_vec import VecSampling
 from qwen_tts_tpu.pipeline import Qwen3TTSModel
 
 
-@partial(jax.jit, donate_argnames=("state", "trailing", "limits"))
+@partial(jax.jit, donate_argnames=("state", "trailing", "limits",
+                                   "vec", "st_vec"))
 def _insert_slot(
     state: DecodeState,
     trailing: jnp.ndarray,     # [B, T_cap, D]
     limits: jnp.ndarray,       # [B]
+    vec: VecSampling,          # per-row talker sampling controls [B]
+    st_vec: VecSampling,       # per-row sub-talker sampling controls [B]
     slot: jnp.ndarray,         # scalar int32
     sub: DecodeState,          # batch-of-1 state fresh from init_decode
     sub_trailing: jnp.ndarray, # [T_cap, D]
     sub_limit: jnp.ndarray,    # scalar int32
+    sub_vec: VecSampling,      # batch-1 (VecSampling.host_row)
+    sub_st_vec: VecSampling,   # batch-1
 ):
     def put(field, value):
         return field.at[slot].set(value)
@@ -80,7 +85,13 @@ def _insert_slot(
     )
     trailing = trailing.at[slot].set(sub_trailing.astype(trailing.dtype))
     limits = limits.at[slot].set(sub_limit)
-    return new_state, trailing, limits
+    # Per-row sampling controls splice inside the SAME program — eager
+    # .at[].set chains were ~12 extra device round trips per admission.
+    vec = jax.tree_util.tree_map(lambda v, s: v.at[slot].set(s[0]),
+                                 vec, sub_vec)
+    st_vec = jax.tree_util.tree_map(lambda v, s: v.at[slot].set(s[0]),
+                                    st_vec, sub_st_vec)
+    return new_state, trailing, limits, vec, st_vec
 
 
 @dataclasses.dataclass
@@ -277,8 +288,6 @@ class ContinuousBatchingEngine:
 
     def _admit(self, slot: int, req: _SlotRequest) -> None:
         params = req.params
-        self._vec = self._vec.set_row(slot, params.talker_sampling())
-        self._st_vec = self._st_vec.set_row(slot, params.subtalker_sampling())
         # Smallest bucket the prompt fits (submit_prompt validated the max).
         plen = req.prompt.embeds.shape[0]
         bucket = next(b for b in self.prefill_buckets if plen <= b)
@@ -308,9 +317,13 @@ class ContinuousBatchingEngine:
         row[:n] = trailing[0, :n]
         row[n:] = req.prompt.tts_pad_embed
         limit = min(params.max_new_tokens, self.max_new_tokens)
-        self._state, self._trailing, self._limits = _insert_slot(
+        (self._state, self._trailing, self._limits,
+         self._vec, self._st_vec) = _insert_slot(
             self._state, self._trailing, self._limits,
+            self._vec, self._st_vec,
             jnp.int32(slot), sub, jnp.asarray(row), jnp.int32(limit),
+            VecSampling.host_row(params.talker_sampling()),
+            VecSampling.host_row(params.subtalker_sampling()),
         )
         self._slot_req[slot] = req
         self._host_gen[slot] = 0  # fresh init_decode: no frames generated yet

@@ -63,6 +63,25 @@ class VecSampling(NamedTuple):
             ),
         )
 
+    @classmethod
+    def host_row(cls, cfg) -> "VecSampling":
+        """Batch-1 VecSampling of HOST (numpy) arrays — builds with zero
+        device dispatches, for callers that splice it into a pool inside an
+        already-jitted program (continuous admission: eager .at[].set chains
+        cost one ~25 ms device round trip EACH over the axon tunnel)."""
+        import numpy as np
+
+        return cls(
+            do_sample=np.full((1,), bool(cfg.do_sample)),
+            temperature=np.full((1,), float(cfg.temperature), np.float32),
+            top_k=np.full((1,), int(cfg.top_k), np.int32),
+            top_p=np.full((1,), float(cfg.top_p), np.float32),
+            repetition_penalty=np.full(
+                (1,), float(cfg.repetition_penalty), np.float32
+            ),
+            min_new_tokens=np.full((1,), int(cfg.min_new_tokens), np.int32),
+        )
+
 
 def apply_repetition_penalty_vec(
     logits: jnp.ndarray, presence: jnp.ndarray, penalty: jnp.ndarray
