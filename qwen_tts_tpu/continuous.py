@@ -382,11 +382,13 @@ class ContinuousBatchingEngine:
             req.future.set_exception(exc)
 
     def _finish(self, slots) -> None:
-        """Resolve finished slots; non-streaming wavs decode as ONE batched
-        codec call (slots often finish together — one dispatch instead of
-        one per request), padded to a power-of-two batch and a bucketed
-        length so serving shapes stay bounded (soak finding)."""
-        reqs, merged_list = [], []
+        """Resolve finished slots. Non-streaming wavs decode per request at
+        batch 1 with a BUCKETED length: the smallest possible compiled-shape
+        set ({1} x length buckets). A batched variant (pow2-padded batch)
+        was measured WORSE on the axon tunnel — each extra shape family is a
+        fresh device program whose first load can cost minutes under the
+        tunnel's load degradation, dwarfing the ~25 ms/dispatch it saves
+        (soak_tpu.json history)."""
         g = self.model.cfg.talker.num_code_groups
         for slot in slots:
             req = self._slot_req.pop(slot)
@@ -395,23 +397,15 @@ class ContinuousBatchingEngine:
             if req.stream_callback is not None:
                 req.future.set_result(np.zeros((0,), np.float32))
                 continue
-            reqs.append(req)
-            merged_list.append(np.concatenate(codes, axis=0) if codes
-                               else np.zeros((0, g), np.int32))
-        if not reqs:
-            return
-        try:
-            pad_to = 1 << (len(reqs) - 1).bit_length()
-            padded = merged_list + [np.zeros((1, g), np.int32)] * (
-                pad_to - len(reqs))
-            wavs = self.model.decode_codes(
-                padded, bucket=max(32, self.segment_frames)
-            )
-            up = self.model.cfg.codec.decode_upsample_rate
-            for req, wav in zip(reqs, wavs):
+            try:
+                merged = (np.concatenate(codes, axis=0) if codes
+                          else np.zeros((0, g), np.int32))
+                wav = self.model.decode_codes(
+                    [merged], bucket=max(32, self.segment_frames)
+                )[0]
+                up = self.model.cfg.codec.decode_upsample_rate
                 req.future.set_result(wav[req.ref_frames * up:])
-        except Exception as exc:
-            for req in reqs:
+            except Exception as exc:
                 if not req.future.done():
                     req.future.set_exception(exc)
 
