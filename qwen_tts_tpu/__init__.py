@@ -11,6 +11,16 @@ Heavy imports are deferred: importing the package is cheap; model classes load
 jax lazily on first use.
 """
 
+import os as _os
+
+# transformers (used for the optional HF tokenizer and the torch Mimi
+# fallback) imports TensorFlow when it is installed — and libtensorflow_cc
+# bundles a SECOND copy of XLA/LLVM/absl that corrupts later jaxlib CPU
+# compiles (delayed segfault in backend_compile_and_load; root-caused from a
+# core dump in round 3). A JAX framework never wants TF in-process; opt out
+# before any transformers import unless the user explicitly set USE_TF.
+_os.environ.setdefault("USE_TF", "0")
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -4,6 +4,14 @@ TPU hardware (the driver's multi-chip dry-run uses the same mechanism)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep transformers from importing TensorFlow (installed in this image):
+# libtensorflow_cc bundles its own XLA/LLVM/absl, and once it is loaded into
+# a jax process, later jaxlib CPU compiles eventually SEGFAULT inside
+# backend_compile_and_load (deterministic at ~test #145 of the full suite,
+# moving with the compile mix; core dump shows libtensorflow_cc.so.2 mapped
+# via transformers' Mimi/feature-extractor paths). USE_TF=0 makes
+# transformers report TF unavailable, so it is never imported.
+os.environ.setdefault("USE_TF", "0")
 # Disable JAX's persistent compilation cache for the suite: the serving
 # tests compile from engine worker threads concurrently with the main
 # thread, and that combination segfaults inside the cache deserializer
