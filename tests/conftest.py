@@ -31,3 +31,21 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables_per_module():
+    """Release jit caches at each test module's teardown.
+
+    The full 219-test suite accumulates hundreds of live CPU executables
+    (every module's jitted decode loops, engines, oracles); past ~140 tests
+    the NEXT big compile segfaults inside jaxlib's
+    backend_compile_and_load — deterministically, independent of which test
+    is there, of TensorFlow presence, and of codegen parallelism (the crash
+    point only creeps when those change). Dropping the caches per module
+    keeps the live-executable set bounded; module-scoped fixtures recompile
+    lazily if a later module reuses them (rare — fixtures are per-module)."""
+    yield
+    jax.clear_caches()
