@@ -256,6 +256,58 @@ def test_env_gate_flip_retraces_cached_programs(monkeypatch):
     np.testing.assert_array_equal(ref, run())
 
 
+def test_env_gate_flip_retraces_bit_identical_gates(monkeypatch):
+    """Gates whose math is bit-identical (QTTS_ST_SPLIT) can't be caught by
+    output comparison — pin the retrace via the jit cache key instead: a
+    same-shape call after the flip must ADD a cache entry, and flipping
+    back must reuse the original (the token is a snapshot, not a counter)."""
+    from qwen_tts_tpu.generate import (
+        GenerationParams,
+        _init_decode_jit,
+        batch_prompts,
+        build_prompt,
+        generate_codes,
+    )
+    from qwen_tts_tpu.models import talker as talker_mod
+
+    full_cfg = tiny_tts_config()
+    cfg = full_cfg.talker
+    rng = jax.random.PRNGKey(0)
+    tp = talker_mod.init_talker_params(rng, cfg)
+    sp = st_mod.init_subtalker_params(
+        jax.random.fold_in(rng, 1), cfg.code_predictor, cfg.hidden_size
+    )
+    prompts = [build_prompt(
+        tp, full_cfg, np.array([1, 2, 3, 10, 11, 12, 4, 5, 1, 2, 3], np.int32),
+        language="english", speaker="aiden",
+    )]
+    embeds, pmask, trailing, _ = batch_prompts(prompts)
+    gp = GenerationParams(max_new_tokens=3, min_new_tokens=3, do_sample=False,
+                          subtalker_do_sample=False, repetition_penalty=1.0)
+
+    def run():
+        out = generate_codes(
+            tp, sp, cfg, jnp.asarray(embeds), jnp.asarray(pmask),
+            jnp.asarray(trailing), sampling=gp.talker_sampling(),
+            st_sampling=gp.subtalker_sampling(),
+            max_new_tokens=gp.max_new_tokens, rng=jax.random.PRNGKey(0),
+        )
+        return np.asarray(out.codes)
+
+    ref = run()
+    base = _init_decode_jit._cache_size()
+    monkeypatch.setenv("QTTS_ST_SPLIT", "1")
+    np.testing.assert_array_equal(ref, run())  # bit-identical math
+    assert _init_decode_jit._cache_size() == base + 1, (
+        "QTTS_ST_SPLIT flip did not retrace"
+    )
+    monkeypatch.delenv("QTTS_ST_SPLIT")
+    run()
+    assert _init_decode_jit._cache_size() == base + 1, (
+        "flipping back should reuse the original cache entry"
+    )
+
+
 def test_jacobi_matches_sequential_vec_sampled():
     """Per-row VecSampling (continuous-batching path): mixed greedy/sampled
     rows with heterogeneous warp params stay bit-equal to the sequential
