@@ -179,3 +179,35 @@ def test_window_engine_cancel_queued(model):
         assert engine.cancel(fut1) is False  # already finished
     finally:
         engine.stop()
+
+
+def test_window_engine_cancel_held_incompatible_request(model):
+    """A request HELD for the next window (incompatible sampling controls
+    with the current window) must still cancel cleanly from the held queue,
+    and the compatible survivor must be unaffected."""
+    from qwen_tts_tpu.serving import ServingEngine
+
+    engine = ServingEngine(model, max_batch=2, max_wait_ms=300,
+                           max_new_tokens=16).start()
+    try:
+        ids = np.asarray([1, 2, 3, 10, 11, 4, 5, 1, 2, 3], np.int32)
+        fut_greedy = engine.submit_ids(
+            ids, speaker="aiden", language="english",
+            max_new_tokens=8, do_sample=False, subtalker_dosample=False,
+        )
+        # Different SAMPLING controls -> held for a later window.
+        fut_sampled = engine.submit_ids(
+            ids, speaker="aiden", language="english",
+            max_new_tokens=8, do_sample=True, temperature=1.3,
+        )
+        fut_greedy2 = engine.submit_ids(
+            ids, speaker="aiden", language="english",
+            max_new_tokens=6, do_sample=False, subtalker_dosample=False,
+        )
+        assert engine.cancel(fut_sampled) is True
+        with pytest.raises(CancelledError):
+            fut_sampled.result(timeout=300)
+        assert fut_greedy.result(timeout=300).shape[0] > 0
+        assert fut_greedy2.result(timeout=300).shape[0] > 0
+    finally:
+        engine.stop()
