@@ -335,11 +335,13 @@ class ContinuousBatchingEngine:
         req.emitted_frames = req.ref_frames
         self.stats["requests"] += 1
 
-    def _stream_emit(self, slot: int, done: bool) -> None:
+    def _stream_emit(self, req: "_SlotRequest", codes, done: bool) -> None:
         """Incrementally decode + emit a slot's fresh frames (the pipeline's
-        chunked-decode pattern: re-decode a left context, discard it)."""
-        req = self._slot_req[slot]
-        codes = self._slot_codes[slot]
+        chunked-decode pattern: re-decode a left context, discard it).
+
+        Operates on captured (req, codes) — the caller may defer this past
+        the NEXT segment dispatch so the codec work overlaps device compute,
+        by which time the slot's dict entries may already be reassigned."""
         total = sum(c.shape[0] for c in codes)
         fresh = total - req.emitted_frames
         if fresh <= 0:
@@ -381,30 +383,48 @@ class ContinuousBatchingEngine:
         if not req.future.done():
             req.future.set_exception(exc)
 
-    def _finish(self, slots) -> None:
-        """Resolve finished slots. Non-streaming wavs decode per request at
-        batch 1 with a BUCKETED length: the smallest possible compiled-shape
-        set ({1} x length buckets). A batched variant (pow2-padded batch)
-        was measured WORSE on the axon tunnel — each extra shape family is a
-        fresh device program whose first load can cost minutes under the
-        tunnel's load degradation, dwarfing the ~25 ms/dispatch it saves
-        (soak_tpu.json history)."""
-        g = self.model.cfg.talker.num_code_groups
-        for slot in slots:
-            req = self._slot_req.pop(slot)
-            codes = self._slot_codes.pop(slot)
-            self._req_by_future.pop(id(req.future), None)
-            if req.stream_callback is not None:
+    def _finish_one(self, req: "_SlotRequest", codes) -> None:
+        """Resolve one finished request from captured (req, codes) — slot
+        dict entries were already popped at bookkeeping time, so this may
+        run after the slot has been re-admitted. Non-streaming wavs decode
+        per request at batch 1 with a BUCKETED length: the smallest possible
+        compiled-shape set ({1} x length buckets). A batched variant
+        (pow2-padded batch) was measured WORSE on the axon tunnel — each
+        extra shape family is a fresh device program whose first load can
+        cost minutes under the tunnel's load degradation, dwarfing the
+        ~25 ms/dispatch it saves (soak_tpu.json history)."""
+        if req.stream_callback is not None:
+            if not req.future.done():
                 req.future.set_result(np.zeros((0,), np.float32))
-                continue
+            return
+        g = self.model.cfg.talker.num_code_groups
+        try:
+            merged = (np.concatenate(codes, axis=0) if codes
+                      else np.zeros((0, g), np.int32))
+            wav = self.model.decode_codes(
+                [merged], bucket=max(32, self.segment_frames)
+            )[0]
+            up = self.model.cfg.codec.decode_upsample_rate
+            req.future.set_result(wav[req.ref_frames * up:])
+        except Exception as exc:
+            if not req.future.done():
+                req.future.set_exception(exc)
+
+    def _resolve_pending(self, work) -> None:
+        """Run a slot's emit/finish work items (captured req + codes), with
+        per-phase timing and per-item exception isolation."""
+        for kind, req, codes, done in work:
             try:
-                merged = (np.concatenate(codes, axis=0) if codes
-                          else np.zeros((0, g), np.int32))
-                wav = self.model.decode_codes(
-                    [merged], bucket=max(32, self.segment_frames)
-                )[0]
-                up = self.model.cfg.codec.decode_upsample_rate
-                req.future.set_result(wav[req.ref_frames * up:])
+                if kind == "emit":
+                    if req.future.done():
+                        continue  # cancelled/aborted since capture
+                    t0 = time.perf_counter()
+                    self._stream_emit(req, codes, done)
+                    self.stats["time_emit_s"] += time.perf_counter() - t0
+                else:
+                    t0 = time.perf_counter()
+                    self._finish_one(req, codes)
+                    self.stats["time_finish_s"] += time.perf_counter() - t0
             except Exception as exc:
                 if not req.future.done():
                     req.future.set_exception(exc)
@@ -471,7 +491,6 @@ class ContinuousBatchingEngine:
             self.stats["segments"] += 1
 
             limits = np.asarray(self._limits)
-            to_finish = []
             for slot in list(self._slot_req):
                 fresh = int(new_gen[slot] - prev_gen[slot])
                 done = bool(eos[slot]) or int(new_gen[slot]) >= int(limits[slot])
@@ -485,17 +504,19 @@ class ContinuousBatchingEngine:
                     self._slot_codes[slot].append(seg[slot, :fresh])
                     self.stats["frames"] += fresh
                 req = self._slot_req[slot]
+                # NOTE (measured dead end): deferring this emit/finish codec
+                # work past the NEXT segment's dispatch does NOT overlap it —
+                # the codec decode is DEVICE work serialized behind the next
+                # segment on the single TensorCore, so only trivial host time
+                # hides (soak steady 13.7→17.8 s incl. tunnel noise).
+                # Resolve inline.
+                work = []
                 if req.stream_callback is not None and (fresh > 0 or done):
-                    try:
-                        t0 = time.perf_counter()
-                        self._stream_emit(slot, done)
-                        self.stats["time_emit_s"] += time.perf_counter() - t0
-                    except Exception as exc:
-                        if not req.future.done():
-                            req.future.set_exception(exc)
+                    work.append(("emit", req, self._slot_codes[slot], done))
                 if done:
-                    to_finish.append(slot)
-            if to_finish:
-                t0 = time.perf_counter()
-                self._finish(to_finish)
-                self.stats["time_finish_s"] += time.perf_counter() - t0
+                    self._slot_req.pop(slot)
+                    codes = self._slot_codes.pop(slot)
+                    self._req_by_future.pop(id(req.future), None)
+                    work.append(("finish", req, codes, True))
+                if work:
+                    self._resolve_pending(work)
