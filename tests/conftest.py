@@ -22,9 +22,14 @@ os.environ.setdefault("USE_TF", "0")
 os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# On a 1-CPU host the 8 per-device executor threads time-share one core and
+# XLA's CPU collective rendezvous aborts the process after 40 s if any
+# participant is late (this killed the round-3 multichip dryrun). Raise the
+# fuse for the TP/DP tests.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+os.environ["XLA_FLAGS"] = _flags
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update is
 # authoritative.
