@@ -73,6 +73,14 @@ class TalkerConfig:
     num_code_groups: int = 32
     text_hidden_size: int = 2048
     text_vocab_size: int = 151936
+    # Talker sliding-window attention option — defaulted OFF exactly like the
+    # reference (configuration_qwen3_tts.py:205-224: sliding_window is None
+    # unless use_sliding_window; layers i >= max_window_layers are
+    # "sliding_attention", the rest full — :248-255). Unused by shipped
+    # checkpoints; a config-surface parity knob.
+    use_sliding_window: bool = False
+    sliding_window: Optional[int] = 4096
+    max_window_layers: int = 28
     # Codec-domain special token ids (configuration_qwen3_tts.py:393-399).
     codec_eos_token_id: int = 4198
     codec_think_id: int = 4202
@@ -100,6 +108,23 @@ class TalkerConfig:
     @property
     def kv_dim(self) -> int:
         return self.num_key_value_heads * self.head_dim
+
+    def layer_windows(self):
+        """Per-layer attention window for the trunk, or None when every layer
+        is full attention. Mirrors the reference layer_types derivation
+        (configuration_qwen3_tts.py:248-255): with use_sliding_window, layers
+        i >= max_window_layers attend within ``sliding_window``; the rest are
+        full attention (encoded as a huge sentinel window so one traced mask
+        expression serves both layer kinds)."""
+        if (not self.use_sliding_window or self.sliding_window is None
+                or self.max_window_layers >= self.num_hidden_layers):
+            return None
+        import numpy as np
+
+        return np.array(
+            [self.sliding_window if i >= self.max_window_layers else 2 ** 30
+             for i in range(self.num_hidden_layers)], np.int32,
+        )
 
     def speaker_codec_id(self, speaker: str) -> Optional[int]:
         for name, sid in self.spk_id:

@@ -118,7 +118,8 @@ def talker_prefill(
     cos, sin = _mrope_cos_sin(cfg, positions)
 
     hidden, ks, vs = trunk_prefill(
-        params["trunk"], talker_dims(cfg), inputs_embeds, cos, sin, pad_mask=pad_mask
+        params["trunk"], talker_dims(cfg), inputs_embeds, cos, sin,
+        pad_mask=pad_mask, layer_windows=cfg.layer_windows(),
     )
     hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
     last_hidden = hidden[:, -1, :]
@@ -163,6 +164,7 @@ def talker_decode_step(
     hidden, k_cache, v_cache = trunk_decode_step(
         params["trunk"], talker_dims(cfg), input_embed, cos, sin,
         k_cache, v_cache, cur_len, valid_from=valid_from,
+        layer_windows=cfg.layer_windows(),
     )
     hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
     logits = (hidden @ params["codec_head"]).astype(jnp.float32)

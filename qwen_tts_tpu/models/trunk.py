@@ -183,22 +183,31 @@ def trunk_prefill(
     *,
     pad_mask: Optional[jnp.ndarray] = None,  # [B, S] True = real
     sliding_window: Optional[int] = None,
+    layer_windows: Optional[jnp.ndarray] = None,  # [L] per-layer window
     unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-sequence forward. Returns (hidden [B,S,D], k [L,B,S,KV,hd], v).
+
+    ``sliding_window`` applies one window to every layer (codec transformer);
+    ``layer_windows`` is a per-layer [L] array (talker use_sliding_window +
+    max_window_layers semantics — full-attention layers carry a huge
+    sentinel). Mutually exclusive.
 
     ``unroll`` straight-lines the layer scan — required for int8 params to
     keep the dequant fused into each dot (rolled loops let XLA hoist the
     dequant and materialize bf16 weight copies, CLAUDE.md ledger); leave
     rolled for bf16 / long stacks (compile size)."""
+    assert sliding_window is None or layer_windows is None
 
-    def layer_step(h, layer):
+    def layer_step(h, xs):
+        layer, window = xs
         x = rms_norm(h, layer["input_norm"], dims.eps)
         q, k, v = _project_qkv(layer, x, dims)
         q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
         k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
         attn = attention_prefill(
-            q, k, v, pad_mask=pad_mask, sliding_window=sliding_window
+            q, k, v, pad_mask=pad_mask,
+            sliding_window=sliding_window if window is None else window,
         )
         h = h + _maybe_scale(
             layer, "attn_scale", _w_matmul(layer, "wo", attn.reshape(*h.shape[:-1], -1))
@@ -208,7 +217,14 @@ def trunk_prefill(
         )
         return h, (k, v)
 
-    hidden, (ks, vs) = jax.lax.scan(layer_step, hidden, params, unroll=unroll)
+    if layer_windows is None:
+        step = lambda h, layer: layer_step(h, (layer, None))  # noqa: E731
+        hidden, (ks, vs) = jax.lax.scan(step, hidden, params, unroll=unroll)
+    else:
+        hidden, (ks, vs) = jax.lax.scan(
+            layer_step, hidden, (params, jnp.asarray(layer_windows)),
+            unroll=unroll,
+        )
     return hidden, ks, vs
 
 
@@ -255,6 +271,7 @@ def trunk_decode_step(
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B]
     sliding_window: Optional[int] = None,
+    layer_windows: Optional[jnp.ndarray] = None,  # [L] per-layer window
     unroll_layers: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-token forward across all layers. Returns (hidden, k_cache, v_cache).
@@ -267,10 +284,13 @@ def trunk_decode_step(
     program it can prefetch across (the ``fori_loop`` form reads each layer
     via a dynamic slice it cannot hoist). Worth it for the sub-talker, whose
     5-layer step runs G times per frame as the decode's HBM bottleneck."""
+    assert sliding_window is None or layer_windows is None
     b = hidden.shape[0]
     cur_len_b = jnp.broadcast_to(jnp.asarray(cur_len), (b,))
     write_pos = cur_len_b - 1
     rows = jnp.arange(b)
+    if layer_windows is not None:
+        layer_windows = jnp.asarray(layer_windows)
 
     def body(l, carry):
         h, kc, vc = carry
@@ -290,7 +310,9 @@ def trunk_decode_step(
         vc = _cache_write_token(vc, l, rows, write_pos, v, b)
         attn = attention_decode_step(
             q, _cache_layer(kc, l), _cache_layer(vc, l),
-            cur_len=cur_len_b, valid_from=valid_from, sliding_window=sliding_window,
+            cur_len=cur_len_b, valid_from=valid_from,
+            sliding_window=(sliding_window if layer_windows is None
+                            else layer_windows[l]),
         )
         h = h + _maybe_scale(
             layer, "attn_scale", _w_matmul(layer, "wo", attn.reshape(h.shape[0], -1))
