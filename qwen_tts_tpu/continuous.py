@@ -158,9 +158,11 @@ class ContinuousBatchingEngine:
                       # finish = codec decode + future resolution).
                       "time_admit_s": 0.0, "time_segment_s": 0.0,
                       "time_finish_s": 0.0, "time_emit_s": 0.0}
-        # Host shadow of per-slot num_gen (saves a device round trip per
-        # segment; see _run).
+        # Host shadows of per-slot num_gen and frame limits (each saves a
+        # blocking ~25 ms device round trip per segment; see _run). _limits
+        # only changes at _admit/_abort, so the shadow is exact.
         self._host_gen = np.zeros((num_slots,), np.int32)
+        self._host_limits = np.zeros((num_slots,), np.int32)
 
         cfg = model.cfg.talker
         dtype = model.talker_params["norm"].dtype
@@ -198,6 +200,9 @@ class ContinuousBatchingEngine:
 
         self._queue: "queue.Queue[Optional[_SlotRequest]]" = queue.Queue()
         self._req_by_future: Dict[int, _SlotRequest] = {}
+        # Double-buffered segment dispatch (see _run): the segment whose
+        # results have been dispatched but not yet fetched/bookkept.
+        self._inflight = None
         self._running = False
         self._worker = threading.Thread(target=self._run, daemon=True)
 
@@ -275,9 +280,17 @@ class ContinuousBatchingEngine:
             non_streaming=non_streaming,
             st_params=self.model.subtalker_params,
         )
+        req_max_new = gen_kwargs.pop("max_new_tokens", None)
+        if req_max_new is not None and req_max_new > self.max_new_tokens:
+            # Same contract as ServingEngine.submit_ids: reject rather than
+            # silently truncate to the engine's compiled frame-budget ceiling.
+            raise ValueError(
+                f"max_new_tokens={req_max_new} exceeds the engine ceiling "
+                f"{self.max_new_tokens} (set ContinuousBatchingEngine("
+                "max_new_tokens=…) at construction)"
+            )
         params = self.model._merge_params(
-            max_new_tokens=gen_kwargs.pop("max_new_tokens", None)
-            or self.max_new_tokens,
+            max_new_tokens=req_max_new or self.max_new_tokens,
             **gen_kwargs,
         )
         return self.submit_prompt(prompt, params,
@@ -327,6 +340,7 @@ class ContinuousBatchingEngine:
         )
         self._slot_req[slot] = req
         self._host_gen[slot] = 0  # fresh init_decode: no frames generated yet
+        self._host_limits[slot] = limit
         # ICL clone: ref codes enter the history as already-emitted frames —
         # codec left context only, audio never emitted (see _SlotRequest).
         self._slot_codes[slot] = (
@@ -374,6 +388,7 @@ class ContinuousBatchingEngine:
         req = self._slot_req.pop(slot)
         self._slot_codes.pop(slot, None)
         self._limits = self._limits.at[slot].set(0)
+        self._host_limits[slot] = 0
         self._req_by_future.pop(id(req.future), None)
         if req.stream_callback is not None:
             try:
@@ -433,13 +448,17 @@ class ContinuousBatchingEngine:
         while self._running:
             # Admit queued requests into free slots.
             free = [i for i in range(self.num_slots) if i not in self._slot_req]
-            block = len(free) == self.num_slots  # fully idle → wait for work
+            # Fully idle (and nothing dispatched-but-unprocessed) → wait.
+            block = len(free) == self.num_slots and self._inflight is None
             while free:
                 try:
                     req = self._queue.get(block=block, timeout=1.0 if block else 0)
                 except queue.Empty:
                     break
                 if req is None:
+                    if self._inflight is not None:
+                        self._process_segment(self._inflight)
+                        self._inflight = None
                     return
                 block = False
                 if req.cancelled:
@@ -466,57 +485,91 @@ class ContinuousBatchingEngine:
                         "request exceeded its deadline (timeout_s) after "
                         f"{sum(c.shape[0] for c in self._slot_codes.get(slot, []))}"
                         " generated frames"))
-            if not self._slot_req:
+            if not self._slot_req and self._inflight is None:
                 continue
 
-            # prev_gen is a HOST shadow (admitted slots start at 0, segments
-            # advance it below) and the post-segment reads are ONE batched
-            # device_get: every separate blocking fetch costs a full ~25 ms
-            # round trip over the axon tunnel, and this loop used to make 4.
-            prev_gen = self._host_gen
-            t_seg = time.perf_counter()
-            self._state, seg_codes = decode_segment(
-                self.model.talker_params, self.model.subtalker_params,
-                self.model.cfg.talker, self._state, self._trailing,
-                sampling=self._static_sampling[0],
-                st_sampling=self._static_sampling[1],
-                segment=self.segment_frames, step_limit=self._limits,
-                vec_sampling=self._vec, st_vec_sampling=self._st_vec,
-            )
-            new_gen, eos, seg = jax.device_get(
-                (self._state.num_gen, self._state.eos, seg_codes)
-            )
-            self._host_gen = np.asarray(new_gen).copy()
-            self.stats["time_segment_s"] += time.perf_counter() - t_seg
-            self.stats["segments"] += 1
+            # DOUBLE-BUFFERED dispatch: queue the NEXT segment before
+            # fetching the in-flight one's results, so the blocking ~25 ms
+            # device_get round trip of segment K overlaps segment K+1's
+            # device compute instead of idling the chip (docs/SERVING.md).
+            # Costs one segment of admission/finish lag (a slot that hit
+            # EOS in the unprocessed segment still rides the next one,
+            # eos-frozen). Greedy rows stay byte-equal: the device-op
+            # sequence is unchanged — only the host fetch order moves.
+            # Distinct from the measured emit/finish-deferral dead end
+            # (commit 8aa078b), which moved DEVICE codec work a segment
+            # later; here only a host fetch is deferred.
+            dispatched = None
+            if self._slot_req:
+                t_seg = time.perf_counter()
+                # with_report: fetching this segment's num_gen/eos happens
+                # AFTER the next dispatch donates self._state, so the
+                # snapshot must hold the report's donation-surviving
+                # (bias-encoded) copies, not state fields (which would be
+                # deleted/reused buffers by then).
+                self._state, seg_codes, report = decode_segment(
+                    self.model.talker_params, self.model.subtalker_params,
+                    self.model.cfg.talker, self._state, self._trailing,
+                    sampling=self._static_sampling[0],
+                    st_sampling=self._static_sampling[1],
+                    segment=self.segment_frames, step_limit=self._limits,
+                    vec_sampling=self._vec, st_vec_sampling=self._st_vec,
+                    with_report=True,
+                )
+                # Participant snapshot BY IDENTITY: when this segment's
+                # results are processed (next iteration), a slot may have
+                # been freed and re-admitted — the identity check skips
+                # frames that belong to a previous occupant.
+                dispatched = (dict(self._slot_req), report[0], report[1],
+                              seg_codes)
+                self.stats["time_segment_s"] += time.perf_counter() - t_seg
+                self.stats["segments"] += 1
+            if self._inflight is not None:
+                t_seg = time.perf_counter()
+                self._process_segment(self._inflight)
+                self.stats["time_segment_s"] += time.perf_counter() - t_seg
+            self._inflight = dispatched
 
-            limits = np.asarray(self._limits)
-            for slot in list(self._slot_req):
-                fresh = int(new_gen[slot] - prev_gen[slot])
-                done = bool(eos[slot]) or int(new_gen[slot]) >= int(limits[slot])
-                if done and not bool(eos[slot]) and fresh > 0:
-                    # Budget-exhausted slots drop their final frame (the
-                    # reference never expands the last cb0 token's groups,
-                    # modeling_qwen3_tts.py:2280-2291) — keeps continuous ==
-                    # one-shot generate_codes.
-                    fresh -= 1
-                if fresh > 0:
-                    self._slot_codes[slot].append(seg[slot, :fresh])
-                    self.stats["frames"] += fresh
-                req = self._slot_req[slot]
-                # NOTE (measured dead end): deferring this emit/finish codec
-                # work past the NEXT segment's dispatch does NOT overlap it —
-                # the codec decode is DEVICE work serialized behind the next
-                # segment on the single TensorCore, so only trivial host time
-                # hides (soak steady 13.7→17.8 s incl. tunnel noise).
-                # Resolve inline.
-                work = []
-                if req.stream_callback is not None and (fresh > 0 or done):
-                    work.append(("emit", req, self._slot_codes[slot], done))
-                if done:
-                    self._slot_req.pop(slot)
-                    codes = self._slot_codes.pop(slot)
-                    self._req_by_future.pop(id(req.future), None)
-                    work.append(("finish", req, codes, True))
-                if work:
-                    self._resolve_pending(work)
+    def _process_segment(self, inflight) -> None:
+        """Fetch + bookkeep one dispatched segment's results (the fetch is
+        ONE batched device_get: every separate blocking fetch costs a full
+        ~25 ms round trip over the axon tunnel, and this used to make 4)."""
+        participants, ng_biased_dev, eos_inv_dev, seg_dev = inflight
+        ng_biased, eos_inv, seg = jax.device_get(
+            (ng_biased_dev, eos_inv_dev, seg_dev))
+        new_gen, eos = ng_biased - 1, ~eos_inv  # undo the report encoding
+        limits = self._host_limits
+        for slot, req in participants.items():
+            if self._slot_req.get(slot) is not req:
+                continue  # aborted, finished, or slot re-admitted since
+            # _host_gen is a host shadow: zeroed at _admit, advanced here —
+            # exactly mirroring the device ops, so fresh counts stay exact
+            # under the one-segment processing lag.
+            fresh = int(new_gen[slot]) - int(self._host_gen[slot])
+            self._host_gen[slot] = int(new_gen[slot])
+            done = bool(eos[slot]) or int(new_gen[slot]) >= int(limits[slot])
+            if done and not bool(eos[slot]) and fresh > 0:
+                # Budget-exhausted slots drop their final frame (the
+                # reference never expands the last cb0 token's groups,
+                # modeling_qwen3_tts.py:2280-2291) — keeps continuous ==
+                # one-shot generate_codes.
+                fresh -= 1
+            if fresh > 0:
+                self._slot_codes[slot].append(seg[slot, :fresh])
+                self.stats["frames"] += fresh
+            # NOTE (measured dead end): deferring this emit/finish codec
+            # work past the NEXT segment's dispatch does NOT overlap it —
+            # the codec decode is DEVICE work serialized behind the next
+            # segment on the single TensorCore, so only trivial host time
+            # hides (soak steady 13.7→17.8 s incl. tunnel noise).
+            # Resolve inline.
+            work = []
+            if req.stream_callback is not None and (fresh > 0 or done):
+                work.append(("emit", req, self._slot_codes[slot], done))
+            if done:
+                self._slot_req.pop(slot)
+                codes = self._slot_codes.pop(slot)
+                self._req_by_future.pop(id(req.future), None)
+                work.append(("finish", req, codes, True))
+            if work:
+                self._resolve_pending(work)

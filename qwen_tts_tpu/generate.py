@@ -574,7 +574,7 @@ def init_decode(*args, **kwargs):
 @partial(
     jax.jit,
     static_argnames=("talker_cfg", "sampling", "st_sampling", "segment",
-                     "st_env"),
+                     "st_env", "with_report"),
     donate_argnames=("state",),
 )
 def _decode_segment_jit(
@@ -591,6 +591,7 @@ def _decode_segment_jit(
     vec_sampling: Optional[VecSampling] = None,
     st_vec_sampling: Optional[VecSampling] = None,
     st_env: tuple = (),
+    with_report: bool = False,
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """Run up to ``segment`` frames, resumable. Returns (state, seg_codes
     [B, segment, G]); valid rows/frames are derivable from num_gen deltas.
@@ -599,7 +600,17 @@ def _decode_segment_jit(
 
     ``step_limit`` is a *dynamic* per-row (or scalar) cap on each row's total
     frames (max_new_tokens) so a trailing partial segment reuses the compiled
-    steady-segment program instead of triggering a new shape."""
+    steady-segment program instead of triggering a new shape.
+
+    ``with_report=True`` appends a third output ``(num_gen + 1, ~eos)`` in
+    buffers guaranteed to SURVIVE donating the returned state into the next
+    segment's dispatch (the double-buffered engine fetches segment K's
+    results after dispatching K+1; ``state`` is donated, so reading
+    ``state.num_gen`` then would hit deleted/reused buffers). The values are
+    bias-encoded (+1 / logical-not) so XLA can neither CSE them onto the
+    state outputs nor alias them into the donated input buffers — a plain
+    copy could legally share the output allocation. Callers decode with
+    ``report[0] - 1`` / ``~report[1]``."""
     dtype = talker_params["norm"].dtype
     if step_limit is None:
         step_limit = state.num_gen + segment
@@ -608,8 +619,12 @@ def _decode_segment_jit(
         trailing, step_limit, dtype, vec_sampling=vec_sampling,
         st_vec_sampling=st_vec_sampling,
     )
-    return _segment_loop(body, state, segment, step_limit,
-                         talker_cfg.num_code_groups)
+    new_state, seg_codes = _segment_loop(body, state, segment, step_limit,
+                                         talker_cfg.num_code_groups)
+    if not with_report:
+        return new_state, seg_codes
+    return new_state, seg_codes, (new_state.num_gen + 1,
+                                  jnp.logical_not(new_state.eos))
 
 
 def decode_segment(*args, **kwargs):
@@ -665,7 +680,11 @@ def generate_codes(
     if trim_last_on_budget:
         limit = (jnp.int32(max_new_tokens) if step_limit is None
                  else jnp.asarray(step_limit, jnp.int32))
+        # max(0, …): a per-row step_limit of 0 must yield an empty row, not
+        # num_gen == -1 (callers slice codes[i, :num_gen[i]], and -1 would
+        # keep nearly all frames).
         num_gen = jnp.where(
-            state.eos, num_gen, jnp.minimum(num_gen, limit - 1)
+            state.eos, num_gen,
+            jnp.maximum(jnp.minimum(num_gen, limit - 1), 0),
         )
     return GenOutput(codes, num_gen, state.eos)

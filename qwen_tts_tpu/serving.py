@@ -113,9 +113,18 @@ class ServingEngine:
             non_streaming=non_streaming,
             st_params=self.model.subtalker_params,
         )
+        req_max_new = gen_kwargs.pop("max_new_tokens", None)
+        if req_max_new is not None and req_max_new > self.max_new_tokens:
+            # The window decodes under the engine's compiled ceiling; a
+            # larger request budget would be silently truncated — reject at
+            # submit (mirrors the prompt-length validation).
+            raise ValueError(
+                f"max_new_tokens={req_max_new} exceeds the engine ceiling "
+                f"{self.max_new_tokens} (set ServingEngine(max_new_tokens=…) "
+                "at construction)"
+            )
         params = self.model._merge_params(
-            max_new_tokens=gen_kwargs.pop("max_new_tokens", None)
-            or self.max_new_tokens,
+            max_new_tokens=req_max_new or self.max_new_tokens,
             **gen_kwargs,
         )
         rc = None

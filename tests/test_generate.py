@@ -193,3 +193,68 @@ def test_dialect_speaker_overrides_language_id():
     p_en = build_prompt(params, cfg, ids, language="english", speaker="serena")
     want_en = np.asarray(talker_mod.embed_codec(params, jnp.asarray([201])))[0]
     np.testing.assert_allclose(lang_slot(p_en), want_en, atol=1e-5)
+
+
+def test_step_limit_zero_yields_empty_row():
+    """A per-row step_limit of 0 must clamp num_gen to 0, not -1 (ADVICE r3:
+    callers slice codes[i, :num_gen[i]] and -1 keeps nearly all frames)."""
+    params, st = _params()
+    prompts = [
+        build_prompt(params, CFG, _text_ids(4), language="auto", speaker="aiden"),
+        build_prompt(params, CFG, _text_ids(5), language="english"),
+    ]
+    embeds, mask, trailing, _ = batch_prompts(prompts, bucket=8)
+    gp = GenerationParams(max_new_tokens=4).greedy()
+    out = generate_codes(
+        params, st, CFG.talker,
+        jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(trailing),
+        sampling=gp.talker_sampling(), st_sampling=gp.subtalker_sampling(),
+        max_new_tokens=4, rng=jax.random.PRNGKey(0),
+        step_limit=jnp.asarray([0, 4], jnp.int32),
+    )
+    n = np.asarray(out.num_gen)
+    assert n[0] == 0          # empty row, NOT -1
+    assert 0 <= n[1] <= 4
+
+
+def test_segment_report_survives_donation():
+    """Double-buffered serving (continuous.py) fetches segment K's
+    num_gen/eos AFTER dispatching segment K+1, which DONATES state K —
+    deleting (and reusing) its buffers. The with_report output must carry
+    bias-encoded copies in buffers that survive that donation with correct
+    values (a plain copy can legally be aliased into the donated input)."""
+    from qwen_tts_tpu.generate import decode_segment, init_decode
+
+    params, st = _params()
+    prompts = [
+        build_prompt(params, CFG, _text_ids(4), language="auto", speaker="aiden"),
+        build_prompt(params, CFG, _text_ids(6), language="english"),
+    ]
+    embeds, mask, trailing, _ = batch_prompts(prompts, bucket=16)
+    gp = GenerationParams(max_new_tokens=8).greedy()
+    state = init_decode(
+        params, st, CFG.talker, jnp.asarray(embeds), jnp.asarray(mask),
+        sampling=gp.talker_sampling(), st_sampling=gp.subtalker_sampling(),
+        max_cache_len=embeds.shape[1] + 8, rng=jax.random.PRNGKey(0),
+        first_segment=0, trailing=jnp.asarray(trailing),
+    )
+    limit = jnp.full((2,), 8, jnp.int32)
+    common = dict(sampling=gp.talker_sampling(),
+                  st_sampling=gp.subtalker_sampling(), segment=2,
+                  step_limit=limit)
+    state, _seg1, report1 = decode_segment(
+        params, st, CFG.talker, state, jnp.asarray(trailing),
+        with_report=True, **common)
+    # Oracle BEFORE the donating dispatch (forces its own fresh fetch).
+    want_gen = np.asarray(report1[0]) - 1
+    want_eos = ~np.asarray(report1[1])
+    # Donate state into segment 2 — state-1's buffers are now dead/reused.
+    state, _seg2, report2 = decode_segment(
+        params, st, CFG.talker, state, jnp.asarray(trailing),
+        with_report=True, **common)
+    # The deferred fetch of segment 1's report must still read true values.
+    got1 = jax.device_get(report1)
+    np.testing.assert_array_equal(np.asarray(got1[0]) - 1, want_gen)
+    np.testing.assert_array_equal(~np.asarray(got1[1]), want_eos)
+    got2_gen = np.asarray(jax.device_get(report2[0])) - 1
+    assert (got2_gen >= want_gen).all() and (got2_gen <= 4).all()

@@ -182,3 +182,23 @@ def test_window_budgets_share_one_program_and_match_solo(model):
     assert w2.shape[0] == solo["b"].shape[0] == 6 * up
     np.testing.assert_allclose(w1, solo["a"], atol=1e-5)
     np.testing.assert_allclose(w2, solo["b"], atol=1e-5)
+
+
+def test_submit_rejects_budget_above_engine_ceiling(model):
+    """ADVICE r3: an explicit max_new_tokens above the engine's compiled
+    ceiling used to be silently clamped (truncated audio, no signal) — both
+    engines now reject at submit, mirroring prompt-length validation."""
+    ids = np.array([1, 2, 3, 10, 11, 4, 5, 1, 2, 3], np.int32)
+    engine = ServingEngine(model, max_batch=2, max_wait_ms=5,
+                           max_new_tokens=4)
+    with pytest.raises(ValueError, match="ceiling"):
+        engine.submit_ids(ids, speaker="aiden", language="english",
+                          max_new_tokens=8)
+
+    from qwen_tts_tpu.continuous import ContinuousBatchingEngine
+
+    cont = ContinuousBatchingEngine(model, num_slots=2, segment_frames=2,
+                                    max_new_tokens=4)
+    with pytest.raises(ValueError, match="ceiling"):
+        cont.submit_ids(ids, speaker="aiden", language="english",
+                        max_new_tokens=8)
