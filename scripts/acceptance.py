@@ -33,6 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = []
+EXTRAS = {}  # structured stage outputs for the JSON report (--out)
 
 
 def stage(name, fn, *, skip=None):
@@ -261,6 +262,91 @@ def main() -> int:
     stage("jacobi", do_jacobi,
           skip=None if on_device else "no accelerator (CPU run)")
 
+    # ---- jacobi convergence histogram -------------------------------------
+    # Per-frame adaptive-Jacobi iteration counts on REAL decode states — the
+    # checkpoint property that decides whether the approximate 1-sweep mode
+    # (QTTS_ST_JACOBI_ITERS=1, the only in-pipeline Jacobi winner: 590/671x
+    # RTF, CLAUDE.md ledger) is safe to serve. Decision table in
+    # docs/SERVING.md. Runs on CPU too (numerics, not perf).
+    def do_jacobi_conv():
+        from qwen_tts_tpu.generate import (
+            batch_prompts,
+            build_prompt,
+            decode_segment,
+            init_decode,
+        )
+        from qwen_tts_tpu.models.subtalker import subtalker_generate_jacobi
+
+        m = model_box["m"]
+        tk = m.cfg.talker
+        g = tk.code_predictor.num_code_groups
+        prompt = build_prompt(
+            m.talker_params, m.cfg, ids, language=args.language,
+            speaker=args.speaker, st_params=m.subtalker_params,
+        )
+        # b=1: the adaptive while_loop's iteration count is batch-global
+        # (cond reduces over rows), so single-row probing gives true
+        # per-frame counts.
+        embeds, mask, trailing, _ = batch_prompts([prompt])
+        frames = min(args.max_tokens, 32)
+        gp = _greedy_params(frames)
+        state, _seg = init_decode(
+            m.talker_params, m.subtalker_params, tk,
+            jnp.asarray(embeds), jnp.asarray(mask),
+            sampling=gp.talker_sampling(),
+            st_sampling=gp.subtalker_sampling(),
+            max_cache_len=embeds.shape[1] + frames,
+            rng=jax.random.PRNGKey(0), first_segment=1,
+            trailing=jnp.asarray(trailing),
+        )
+        probe = jax.jit(lambda h, t: subtalker_generate_jacobi(
+            m.subtalker_params, tk.code_predictor,
+            m.talker_params["codec_embedding"], h, t, return_iters=True))
+        counts = {}
+        checked = 0
+        for _ in range(frames - 1):
+            if bool(np.asarray(state.eos)[0]):
+                break
+            jac_codes, iters = probe(state.hidden, state.token)
+            state, seg = decode_segment(
+                m.talker_params, m.subtalker_params, tk, state,
+                jnp.asarray(trailing),
+                sampling=gp.talker_sampling(),
+                st_sampling=gp.subtalker_sampling(), segment=1,
+            )
+            # Cross-check: the adaptive fixed point must equal the frame the
+            # sequential decode actually emitted (exactness on real states).
+            if int(np.asarray(state.num_gen)[0]) > checked + 1:
+                assert np.array_equal(np.asarray(jac_codes)[0],
+                                      np.asarray(seg)[0, 0]), \
+                    "adaptive Jacobi diverged from the sequential frame"
+            k = int(np.asarray(iters))
+            counts[k] = counts.get(k, 0) + 1
+            checked += 1
+        if not checked:
+            return "no frames decoded (instant EOS?) — histogram empty"
+        total = sum(counts.values())
+        # iters includes the final verification sweep: "converged after k
+        # productive sweeps" reports as k+1 (cap g-1 = maybe-unconverged).
+        conv1 = counts.get(2, 0) / total
+        capped = counts.get(g - 1, 0) / total
+        hist = {str(k): v for k, v in sorted(counts.items())}
+        if conv1 >= 0.99:
+            decision = "jac1-safe"
+        elif conv1 >= 0.90:
+            decision = "jac1-marginal (quality-eval before enabling)"
+        else:
+            decision = "jac1-unsafe (keep exact sequential serving)"
+        EXTRAS["jacobi_convergence"] = {
+            "frames": total, "iters_histogram": hist,
+            "converged_1sweep_frac": round(conv1, 4),
+            "cap_hit_frac": round(capped, 4), "decision": decision,
+        }
+        return (f"{total} frames; P(1-sweep)={conv1:.2%}, cap-hit "
+                f"{capped:.2%} → {decision}")
+
+    stage("jacobi_conv", do_jacobi_conv)
+
     # ---- streaming -------------------------------------------------------
     def do_streaming():
         from qwen_tts_tpu.generate import build_prompt
@@ -315,6 +401,7 @@ def _finish(args, rc):
         "stages": [{"stage": n, "status": s, "detail": str(d)}
                    for n, s, d in RESULTS],
         "ok": rc == 0,
+        **EXTRAS,
     }
     print(json.dumps(report))
     if args.out:

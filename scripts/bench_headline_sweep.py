@@ -128,8 +128,16 @@ def main():
         # 128-frame chunk at b96 (~0.6 ms/frame of tunnel overhead); b48
         # halves the dispatch count if the larger vocoder buffers still fit.
         "b96_codec48": dict(batch=96, kv_int8=False, env={}, codec_mb=48),
+        # Quarantined (round 3/4): the unsplit-b96 vocoder program reliably
+        # fails the axon tunnel's remote-compile with HTTP 500 — a ~19 GiB
+        # peak-live-buffer program the device rejects (the same ~3 live
+        # [B,T*1920,C] vocoder buffers that motivated chunked_decode). Keep
+        # the probe, but expect failure and record a clean skip, not a trace.
         "b96_codec96": dict(batch=96, kv_int8=False, env={}, codec_mb=96,
-                            note="no split — expected HBM OOM probe"),
+                            note="no split — expected HBM OOM probe",
+                            expect_fail="unsplit b96 vocoder exceeds device "
+                                        "memory; tunnel surfaces it as a "
+                                        "remote-compile HTTP 500"),
     }
 
     report = {}
@@ -144,6 +152,21 @@ def main():
             report = {}
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_headline_sweep.json")
+
+    # Tunnel-health probe (CLAUDE.md gotcha): a trivial NEW program's load
+    # time distinguishes tunnel degradation from config regressions. Recorded
+    # with the report so a crawling sweep is attributable.
+    def tunnel_probe():
+        salt = int(time.time()) % 97 + 3  # unique shape → fresh program
+        t0 = time.perf_counter()
+        x = jnp.ones((salt, salt), jnp.bfloat16)
+        float(jnp.sum(jax.jit(lambda a: a @ a)(x)))  # forced device fetch
+        return round(time.perf_counter() - t0, 2)
+
+    report["_tunnel_probe_s"] = tunnel_probe()
+    print(json.dumps({"_tunnel_probe_s": report["_tunnel_probe_s"]}),
+          flush=True)
+
     for name in args.configs.split(","):
         c = CONFIGS[name]
         batch = c["batch"]
@@ -193,8 +216,21 @@ def main():
             if "note" in c:
                 report[name]["note"] = c["note"]
         except Exception as exc:
-            report[name] = {"batch": batch, "error": f"{type(exc).__name__}: "
-                            f"{str(exc)[:150]}"}
+            # Fail SOFT with a clean schema: one bad config must not cost
+            # the round's artifact or pollute it with stack traces.
+            entry = {"batch": batch, "skipped": True,
+                     "reason": f"{type(exc).__name__}: {str(exc)[:150]}"}
+            if c.get("expect_fail"):
+                entry["expected"] = True
+                entry["reason"] = c["expect_fail"]
+            else:
+                # Unexpected: re-probe the tunnel so degradation can't
+                # masquerade as a config bug.
+                try:
+                    entry["tunnel_probe_s"] = tunnel_probe()
+                except Exception:
+                    entry["tunnel_probe_s"] = None
+            report[name] = entry
         finally:
             for k in c["env"]:
                 os.environ.pop(k, None)

@@ -16,6 +16,7 @@ Usage: python scripts/soak_tpu.py [--requests 32 --slots 8 --json soak_tpu.json]
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -155,8 +156,10 @@ def main() -> int:
                 errors += 1
         wall = time.perf_counter() - t_start
         lat_ms = sorted(1e3 * x for x in lat)
-        pct = lambda p: round(lat_ms[min(len(lat_ms) - 1,  # noqa: E731
-                                         int(p * len(lat_ms)))], 1)
+        # Nearest-rank percentile (ceil-based); null metrics when a wave
+        # completes zero requests instead of crashing the soak report.
+        pct = lambda p: (round(lat_ms[max(0, math.ceil(p * len(lat_ms)) - 1)], 1)  # noqa: E731
+                         if lat_ms else None)
         return {
             "completed": len(lat),
             "cancelled": cancelled,
@@ -166,7 +169,7 @@ def main() -> int:
             "aggregate_rtf": round(served_audio_s / wall, 1),
             "request_latency_ms_p50": pct(0.50),
             "request_latency_ms_p90": pct(0.90),
-            "request_latency_ms_max": round(lat_ms[-1], 1),
+            "request_latency_ms_max": round(lat_ms[-1], 1) if lat_ms else None,
         }
 
     cold = wave("cold")

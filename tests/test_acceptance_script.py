@@ -29,3 +29,9 @@ def test_acceptance_tiny_green(tmp_path):
     # device stages skip cleanly on CPU
     assert stages["bench"]["status"] in ("PASS", "SKIP")
     assert stages["streaming"]["status"] in ("PASS", "SKIP")
+    # the Jacobi convergence histogram runs everywhere (numerics, not perf)
+    assert stages["jacobi_conv"]["status"] == "PASS"
+    conv = report["jacobi_convergence"]
+    assert conv["frames"] > 0
+    assert sum(conv["iters_histogram"].values()) == conv["frames"]
+    assert conv["decision"]  # a decision string is always emitted
