@@ -151,6 +151,10 @@ class ContinuousBatchingEngine:
         self.trailing_cap = trailing_cap
         self.stream_context_frames = stream_context_frames
         self.stats = {"requests": 0, "segments": 0, "frames": 0,
+                      # In-flight segment results whose slot was freed (and
+                      # possibly re-admitted) before processing — dropped by
+                      # the identity check in _process_segment.
+                      "stale_skips": 0,
                       "bucket_admits": {b: 0 for b in self.prefill_buckets},
                       # Cumulative wall per loop phase (seconds) — the
                       # serving-cost breakdown (admit = init_decode +
@@ -445,6 +449,38 @@ class ContinuousBatchingEngine:
                     req.future.set_exception(exc)
 
     def _run(self):
+        try:
+            self._run_loop()
+        finally:
+            # Shutdown drain — runs on EVERY exit path (stop() racing an
+            # active decode clears _running before the sentinel is read, so
+            # the loop can exit with a segment still in flight): fetch it
+            # so slots that finished in it resolve normally, then fail
+            # whatever is still unresolved instead of leaving clients
+            # blocked on futures that no thread will ever complete.
+            try:
+                if self._inflight is not None:
+                    self._process_segment(self._inflight)
+                    self._inflight = None
+            except Exception:
+                pass
+            for slot in list(self._slot_req):
+                try:
+                    self._abort(slot, CancelledError("engine stopped"))
+                except Exception:
+                    pass
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is None:
+                    continue
+                self._req_by_future.pop(id(req.future), None)
+                if not req.future.done():
+                    req.future.set_exception(CancelledError("engine stopped"))
+
+    def _run_loop(self):
         while self._running:
             # Admit queued requests into free slots.
             free = [i for i in range(self.num_slots) if i not in self._slot_req]
@@ -456,10 +492,7 @@ class ContinuousBatchingEngine:
                 except queue.Empty:
                     break
                 if req is None:
-                    if self._inflight is not None:
-                        self._process_segment(self._inflight)
-                        self._inflight = None
-                    return
+                    return  # the _run finally-drain fetches any in-flight
                 block = False
                 if req.cancelled:
                     self._req_by_future.pop(id(req.future), None)
@@ -541,7 +574,12 @@ class ContinuousBatchingEngine:
         limits = self._host_limits
         for slot, req in participants.items():
             if self._slot_req.get(slot) is not req:
-                continue  # aborted, finished, or slot re-admitted since
+                # Aborted, finished, or slot re-admitted since dispatch:
+                # these frames belong to a previous occupant (eos-frozen
+                # rows ride one extra segment under double-buffering) —
+                # appending them would corrupt the new occupant's stream.
+                self.stats["stale_skips"] += 1
+                continue
             # _host_gen is a host shadow: zeroed at _admit, advanced here —
             # exactly mirroring the device ops, so fresh counts stay exact
             # under the one-segment processing lag.
