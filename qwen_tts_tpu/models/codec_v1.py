@@ -62,6 +62,42 @@ def _apply_rope_interleaved(x, cos, sin):
     return (x * cos + _rotate_pairs(x) * sin).astype(x.dtype)
 
 
+# -- half-split rope (serving fast path) -------------------------------------
+# The interleaved-pair rotation shuffles adjacent LANES (a cross-lane op on
+# every q/k, every layer, every Euler step). Because q only meets k through
+# dot products and the rope tables duplicate each frequency across the pair,
+# permuting the q/k head channels (evens then odds) at load time turns the
+# pair rotation into the half-split convention — two contiguous lane-block
+# slices — with bit-identical attention output. v/o are untouched.
+
+def _halfsplit_rope_tables(seq_len: int, head_dim: int, theta: float):
+    """cos/sin [T, head_dim] with half-split duplication:
+    table[t, i] = table[t, half + i] = f(t * theta^(-2i/d))."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    t = np.arange(seq_len)[:, None] * inv_freq[None, :]
+    t = np.concatenate([t, t], axis=-1)
+    return jnp.asarray(np.cos(t), jnp.float32), jnp.asarray(np.sin(t), jnp.float32)
+
+
+def _apply_rope_halfsplit(x, cos, sin):
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return (x * cos + rot * sin).astype(x.dtype)
+
+
+def _rope_halfsplit_layer(layer: dict, heads: int, head_dim: int) -> dict:
+    """Permute wq/wk output channels per head: (0,1,2,..) → (evens | odds).
+    q'·k' == q·k for any shared permutation, so attention is unchanged."""
+    perm = np.arange(head_dim).reshape(-1, 2).T.reshape(-1)
+    full = (np.arange(heads)[:, None] * head_dim + perm[None, :]).reshape(-1)
+    out = dict(layer)
+    out["wq"] = layer["wq"][:, full]
+    out["bq"] = layer["bq"][full]
+    out["wk"] = layer["wk"][:, full]
+    out["bk"] = layer["bk"][full]
+    return out
+
+
 def _sinus_time_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0):
     """SinusPositionEmbedding (:634-646). t: [B] → [B, dim]."""
     half = dim // 2
@@ -99,7 +135,7 @@ def _dit_attention(layer: dict, x: jnp.ndarray, cos, sin, mask, heads, head_dim)
 
 def _dit_attention_local(layer: dict, x: jnp.ndarray, cos, sin,
                          look_back: int, look_ahead: int, block: int,
-                         heads: int, head_dim: int):
+                         heads: int, head_dim: int, halfsplit: bool = False):
     """Block-local attention computed block-locally (same math as the dense
     masked form — query block n attends keys in blocks [n-lb, n+la], pad
     keys masked to -1e9 — but the score tensor is [B,H,nb,block,w] instead
@@ -113,8 +149,9 @@ def _dit_attention_local(layer: dict, x: jnp.ndarray, cos, sin,
     q = (x @ layer["wq"] + layer["bq"]).reshape(b, t, heads, head_dim)
     k = (x @ layer["wk"] + layer["bk"]).reshape(b, t, heads, head_dim)
     v = (x @ layer["wv"] + layer["bv"]).reshape(b, t, heads, head_dim)
-    q = _apply_rope_interleaved(q, cos[None, :, None], sin[None, :, None])
-    k = _apply_rope_interleaved(k, cos[None, :, None], sin[None, :, None])
+    rope = _apply_rope_halfsplit if halfsplit else _apply_rope_interleaved
+    q = rope(q, cos[None, :, None], sin[None, :, None])
+    k = rope(k, cos[None, :, None], sin[None, :, None])
 
     def pad_t(a):
         return jnp.pad(a, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
@@ -151,8 +188,80 @@ def _dit_attention_local(layer: dict, x: jnp.ndarray, cos, sin,
     return out @ layer["wo"] + layer["bo"]
 
 
+def _dit_attention_chunked(layer: dict, x: jnp.ndarray, cos, sin,
+                           look_back: int, look_ahead: int, block: int,
+                           heads: int, head_dim: int, chunk_blocks: int = 5,
+                           halfsplit: bool = False):
+    """Block-local attention packed into lane-dense MXU tiles.
+
+    Same math as `_dit_attention_local` / the dense oracle, but queries are
+    tiled in CHUNKS of `chunk_blocks` blocks (5×24 = 120 rows ≈ a full MXU
+    tile) instead of single 24-row blocks: the score matmuls go from
+    [24×64]·[64×w] (19% M-utilization) to [120×64]·[64×(120..168)]. The
+    superset scores are masked back to the exact block window, so the
+    result is identical. With lb = la = 0 (19 of 22 DiT layers) the key
+    windows are a pure reshape; windowed layers gather `chunk+lb+la` blocks
+    via strided slices. `halfsplit` expects `_rope_halfsplit_layer` weights
+    and half-split tables (bit-identical attention, cheaper rotation)."""
+    b, t, _ = x.shape
+    nb = -(-t // block)
+    g = chunk_blocks
+    nc = -(-nb // g)
+    t_pad = nc * g * block
+    p = g + look_back + look_ahead
+    w = p * block
+    qlen = g * block
+
+    q = (x @ layer["wq"] + layer["bq"]).reshape(b, t, heads, head_dim)
+    k = (x @ layer["wk"] + layer["bk"]).reshape(b, t, heads, head_dim)
+    v = (x @ layer["wv"] + layer["bv"]).reshape(b, t, heads, head_dim)
+    rope = _apply_rope_halfsplit if halfsplit else _apply_rope_interleaved
+    q = rope(q, cos[None, :, None], sin[None, :, None])
+    k = rope(k, cos[None, :, None], sin[None, :, None])
+
+    def pad_t(a):
+        return jnp.pad(a, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+
+    qc = pad_t(q).reshape(b, nc, qlen, heads, head_dim)
+    if look_back == 0 and look_ahead == 0:
+        kw = pad_t(k).reshape(b, nc, w, heads, head_dim)
+        vw = pad_t(v).reshape(b, nc, w, heads, head_dim)
+    else:
+        kb = pad_t(k).reshape(b, nc * g, block, heads, head_dim)
+        vb = pad_t(v).reshape(b, nc * g, block, heads, head_dim)
+
+        def windows(a):  # [B, nc*g, blk, H, hd] → [B, nc, p*blk, H, hd]
+            ap = jnp.pad(a, ((0, 0), (look_back, look_ahead), (0, 0),
+                             (0, 0), (0, 0)))
+            cols = [ap[:, j : j + (nc - 1) * g + 1 : g] for j in range(p)]
+            return jnp.concatenate(cols, axis=2)
+
+        kw = windows(kb)
+        vw = windows(vb)
+
+    scores = jnp.einsum("bnqhd,bnkhd->bhnqk", qc, kw,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(head_dim))
+    # exact window mask in (chunk, q-row, k-col) coordinates
+    qq = jax.lax.broadcasted_iota(jnp.int32, (nc, qlen, w), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nc, qlen, w), 2)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (nc, qlen, w), 0)
+    q_block = cc * g + qq // block
+    k_block = cc * g - look_back + kk // block
+    k_pos = k_block * block + kk % block
+    diff = k_block - q_block
+    valid = ((k_block >= 0) & (k_block < nb) & (k_pos < t)
+             & (diff >= -look_back) & (diff <= look_ahead))
+    scores = jnp.where(valid[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vw.dtype)
+    out = jnp.einsum("bhnqk,bnkhd->bnqhd", probs, vw,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(b, t_pad, heads * head_dim)[:, :t]
+    return out @ layer["wo"] + layer["bo"]
+
+
 def _dit_layer(layer: dict, x: jnp.ndarray, time_emb: jnp.ndarray,
-               cos, sin, mask, cfg: DiTConfig):
+               cos, sin, mask, cfg: DiTConfig, attn_impl: str = "chunked"):
     # AdaLN-Zero (:477-491): 6-way modulation from silu(time_emb).
     mod = jax.nn.silu(time_emb) @ layer["ada_w"] + layer["ada_b"]
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
@@ -160,9 +269,16 @@ def _dit_layer(layer: dict, x: jnp.ndarray, time_emb: jnp.ndarray,
     )
     normed = _ln_noaffine(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
     look_back, look_ahead = mask  # (lb, la) block window
-    attn = _dit_attention_local(layer, normed, cos, sin,
-                                look_back, look_ahead, cfg.block_size,
-                                cfg.num_attention_heads, cfg.head_dim)
+    if attn_impl in ("local", "local_hs"):
+        attn = _dit_attention_local(layer, normed, cos, sin,
+                                    look_back, look_ahead, cfg.block_size,
+                                    cfg.num_attention_heads, cfg.head_dim,
+                                    halfsplit=(attn_impl == "local_hs"))
+    else:
+        attn = _dit_attention_chunked(
+            layer, normed, cos, sin, look_back, look_ahead, cfg.block_size,
+            cfg.num_attention_heads, cfg.head_dim,
+            halfsplit=(attn_impl == "chunked_hs"))
     x = x + gate_msa[:, None] * attn
     normed = _ln_noaffine(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
     h = normed @ layer["ff1_w"] + layer["ff1_b"]
@@ -186,8 +302,18 @@ def dit_forward(
     code_embed: jnp.ndarray,  # [B, T, emb_dim]
     xvec: jnp.ndarray,        # [B, T, enc_emb_dim]
     t_step: jnp.ndarray,      # [B] diffusion time
+    attn_impl: str = "local_hs",
 ) -> jnp.ndarray:
-    """One DiT velocity evaluation. Returns [B, T, mel]."""
+    """One DiT velocity evaluation. Returns [B, T, mel].
+
+    ``attn_impl`` — all the same math, adopted by measurement (exp_v1_opt,
+    v5e b8x10s): "local_hs" (default: per-block attention + half-split rope
+    via a one-time wq/wk column permutation; 298.9 ms vs 416.5 for the DiT
+    stack — the interleaved pair rotation was ~117 ms of cross-lane
+    shuffles), "local" (reference-shaped interleaved rope), "chunked"/
+    "chunked_hs" (lane-packed 120-row MXU tiles — measured LOSS: the
+    masked score tensor grows ~6×, 474.4/369.2 ms; kept as the documented
+    negative)."""
     # Activations follow the PARAM dtype: bf16 checkpoints run the whole
     # transformer in bf16 (the f32 ODE state was silently promoting every
     # matmul/elementwise to f32 — measured 753 ms of the 1067 ms b8x10s
@@ -203,13 +329,20 @@ def dit_forward(
     x = x @ params["in_proj_w"] + params["in_proj_b"]
 
     seq = x.shape[1]
-    cos, sin = _interleaved_rope_tables(seq, cfg.head_dim, cfg.rope_theta)
+    if attn_impl in ("chunked_hs", "local_hs"):
+        cos, sin = _halfsplit_rope_tables(seq, cfg.head_dim, cfg.rope_theta)
+        layers = [_rope_halfsplit_layer(l, cfg.num_attention_heads,
+                                        cfg.head_dim)
+                  for l in params["layers"]]
+    else:
+        cos, sin = _interleaved_rope_tables(seq, cfg.head_dim, cfg.rope_theta)
+        layers = params["layers"]
 
-    for i, layer in enumerate(params["layers"]):
+    for i, layer in enumerate(layers):
         look_ahead = 1 if i in cfg.look_ahead_layers else 0
         look_back = 1 if i in cfg.look_backward_layers else 0
         x = _dit_layer(layer, x, time_emb, cos, sin,
-                       (look_back, look_ahead), cfg)
+                       (look_back, look_ahead), cfg, attn_impl)
 
     mod = jax.nn.silu(time_emb) @ params["out_ada_w"] + params["out_ada_b"]
     scale, shift = jnp.split(mod, 2, axis=-1)
@@ -231,6 +364,7 @@ def dit_sample(
     guidance_scale: float = 0.5,
     sway_coefficient: Optional[float] = -1.0,
     noise: Optional[jnp.ndarray] = None,
+    attn_impl: str = "local_hs",
 ) -> jnp.ndarray:
     """Euler ODE sampling with CFG (:1171-1226). Returns mel [B, T, mel_dim].
 
@@ -283,7 +417,7 @@ def dit_sample(
         bsz = ce2.shape[0]
         pred = dit_forward(
             params, cfg, mel_in(x), spk2, ce2, xv2,
-            jnp.broadcast_to(t0, (bsz,)),
+            jnp.broadcast_to(t0, (bsz,)), attn_impl=attn_impl,
         )
         if apply_cfg:
             cond, uncond = jnp.split(pred, 2, axis=0)
@@ -355,9 +489,81 @@ def _depthwise_conv_transpose(x: jnp.ndarray, filt: jnp.ndarray, stride: int):
     ).astype(x.dtype)
 
 
+def _aa_snake_poly(x: jnp.ndarray, alpha, beta, up_filt, down_filt):
+    """Phase-split (polyphase) form of `_anti_aliased_snake_conv` for the
+    BigVGAN defaults (ratio 2, kernel 12) — same math, reassociated taps.
+
+    The conv form materializes the signal at 2× rate and runs two k=12
+    depthwise convs there (zero-stuffed tconv + strided conv). Here the two
+    output phases of the upsampler are computed separately as 6-tap
+    shift-FMAs at 1× rate, SnakeBeta (pointwise) applies per phase, and the
+    decimating downsampler consumes the phases directly — the 2×-rate
+    tensor never exists and every op is a slice + multiply-add that XLA
+    fuses into the surrounding convs. Tap offsets are derived from the
+    reference's exact pad/trim arithmetic (modeling_..._v1.py:784-833) and
+    pinned by tests against the conv form and the torch oracle."""
+    t = x.shape[1]
+    f32 = jnp.float32
+    # Upsample phases: h[2r] = 2·Σᵢ f[2i+1]·x̂[r+2-i], h[2r+1] = 2·Σᵢ f[2i]·x̂[r+3-i]
+    # with x̂ = edge-replicated x (pad 3/3 covers both phases' tap ranges).
+    xe = _replicate_pad(x, 3, 3)
+    p0 = jnp.zeros((), f32)
+    p1 = jnp.zeros((), f32)
+    for i in range(6):
+        p0 = p0 + up_filt[2 * i + 1].astype(f32) * xe[:, 5 - i : 5 - i + t].astype(f32)
+        p1 = p1 + up_filt[2 * i].astype(f32) * xe[:, 6 - i : 6 - i + t].astype(f32)
+    s0 = snake_beta((2.0 * p0).astype(x.dtype), alpha, beta)
+    s1 = snake_beta((2.0 * p1).astype(x.dtype), alpha, beta)
+    # Downsample: y[r] = Σᵢ g[2i+1]·s0[r+i-2] + Σᵢ g[2i]·s1[r+i-3], edges
+    # replicated in 2×-rate coordinates (left edge = s0[0], right = s1[T-1]).
+    left = s0[:, :1]
+    right = s1[:, t - 1 : t]
+    s0e = jnp.concatenate([left, left, s0, right, right, right], axis=1)
+    s1e = jnp.concatenate([left, left, left, s1, right, right], axis=1)
+    y = jnp.zeros((), f32)
+    for i in range(6):
+        y = y + down_filt[2 * i + 1].astype(f32) * s0e[:, i : i + t].astype(f32)
+        y = y + down_filt[2 * i].astype(f32) * s1e[:, i : i + t].astype(f32)
+    return y.astype(x.dtype)
+
+
+def _aa_snake_polyc(x: jnp.ndarray, alpha, beta, up_filt, down_filt):
+    """Phase-split AA snake with the phase FIRs as depthwise convs (same
+    index math as `_aa_snake_poly`, but 4 clean 6-tap stride-1 convs
+    instead of 24 shift-FMAs — the FMA chain defeats XLA's conv fusion,
+    the same failure mode as ops/snake.py's Cody-Waite ledger entry)."""
+    t = x.shape[1]
+    xe = _replicate_pad(x, 3, 3)  # [B, T+6, C]
+    # phase0[r] = Σⱼ fu[11-2j]·xe[r+j], phase1[r] = Σⱼ fu[10-2j]·xe[r+1+j]
+    k0 = 2.0 * up_filt[jnp.arange(11, -1, -2)]
+    k1 = 2.0 * up_filt[jnp.arange(10, -2, -2)]
+    p0 = _depthwise_conv(xe[:, : t + 5], k0)
+    p1 = _depthwise_conv(xe[:, 1 : t + 6], k1)
+    s0 = snake_beta(p0, alpha, beta)
+    s1 = snake_beta(p1, alpha, beta)
+    left = s0[:, :1]
+    right = s1[:, t - 1 : t]
+    s0e = jnp.concatenate([left, left, s0, right, right, right], axis=1)
+    s1e = jnp.concatenate([left, left, left, s1, right, right], axis=1)
+    g0 = down_filt[jnp.arange(1, 12, 2)]   # y += Σᵢ g[2i+1]·s0e[r+i]
+    g1 = down_filt[jnp.arange(0, 11, 2)]   # y += Σᵢ g[2i]·s1e[r+i]
+    return _depthwise_conv(s0e, g0) + _depthwise_conv(s1e, g1)
+
+
 def _anti_aliased_snake(x: jnp.ndarray, alpha, beta, up_filt, down_filt,
-                        ratio: int = 2):
+                        ratio: int = 2, aa_impl: str = "conv"):
     """TorchActivation1d (:835-856): 2× upsample → SnakeBeta → 2× downsample."""
+    if ratio == 2 and up_filt.shape[0] == 12 and down_filt.shape[0] == 12:
+        if aa_impl == "poly":
+            return _aa_snake_poly(x, alpha, beta, up_filt, down_filt)
+        if aa_impl == "polyc":
+            return _aa_snake_polyc(x, alpha, beta, up_filt, down_filt)
+    return _anti_aliased_snake_conv(x, alpha, beta, up_filt, down_filt, ratio)
+
+
+def _anti_aliased_snake_conv(x: jnp.ndarray, alpha, beta, up_filt, down_filt,
+                             ratio: int = 2):
+    """The direct (2×-rate, depthwise-conv) form; oracle for the poly path."""
     k_up = up_filt.shape[0]
     pad = k_up // ratio - 1
     pad_left = pad * ratio + (k_up - ratio) // 2
@@ -408,18 +614,20 @@ def _conv_transpose_same(x, w, b, stride: int):
 
 
 def _amp_block(p: dict, x: jnp.ndarray, dilations: Tuple[int, ...],
-               causal_type: str, filters: dict) -> jnp.ndarray:
+               causal_type: str, filters: dict, aa_impl: str = "conv"
+               ) -> jnp.ndarray:
     """AMPBlock (:868-992)."""
     up_f, dn_f = filters["up"], filters["down"]
 
     def act(a_idx, h):
         a = p["act_alpha"][a_idx]
         b = p["act_beta"][a_idx]
-        return _anti_aliased_snake(h, a, b, up_f, dn_f)
+        return _anti_aliased_snake(h, a, b, up_f, dn_f, aa_impl=aa_impl)
 
     if causal_type == "2":
         h = _conv1d_same(x, p["pre_conv_w"], p["pre_conv_b"])
-        h = _anti_aliased_snake(h, p["pre_alpha"], p["pre_beta"], up_f, dn_f)
+        h = _anti_aliased_snake(h, p["pre_alpha"], p["pre_beta"], up_f, dn_f,
+                                aa_impl=aa_impl)
     else:
         h = x
     out = x
@@ -446,8 +654,8 @@ def _process_mel(mel: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(2.0 * ((db + 115.0) / 115.0) - 1.0, -1.0, 1.0)
 
 
-def bigvgan_forward(params: dict, cfg: BigVGANConfig, mel: jnp.ndarray
-                    ) -> jnp.ndarray:
+def bigvgan_forward(params: dict, cfg: BigVGANConfig, mel: jnp.ndarray,
+                    aa_impl: str = "conv") -> jnp.ndarray:
     """mel [B, T, mel_dim] → waveform [B, T * total_upsample]."""
     filters = params["_filters"]
     # Vocoder activations follow the param dtype: bf16 checkpoints take the
@@ -467,11 +675,11 @@ def bigvgan_forward(params: dict, cfg: BigVGANConfig, mel: jnp.ndarray
             block = params["resblocks"][li * n_res + bi]
             causal_type = "1" if li > 1 else "2"
             r = _amp_block(block, h, cfg.resblock_dilation_sizes[bi],
-                           causal_type, filters)
+                           causal_type, filters, aa_impl=aa_impl)
             acc = r if acc is None else acc + r
         h = acc / n_res
     h = _anti_aliased_snake(h, params["post_alpha"], params["post_beta"],
-                            filters["up"], filters["down"])
+                            filters["up"], filters["down"], aa_impl=aa_impl)
     wav = _conv1d_same(h, params["post_w"], None)
     return jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0)
 
@@ -481,7 +689,8 @@ def bigvgan_forward(params: dict, cfg: BigVGANConfig, mel: jnp.ndarray
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "guidance_scale",
-                                   "sway_coefficient"))
+                                   "sway_coefficient", "attn_impl",
+                                   "aa_impl"))
 def codec_v1_decode(
     params: dict,
     cfg: CodecV1Config,
@@ -494,14 +703,17 @@ def codec_v1_decode(
     guidance_scale: float = 0.5,
     sway_coefficient: float = -1.0,
     noise: Optional[jnp.ndarray] = None,
+    attn_impl: str = "local_hs",
+    aa_impl: str = "conv",
 ) -> jnp.ndarray:
     codes = jnp.maximum(codes, 0)
     mel = dit_sample(
         params["dit"], cfg.dit, codes, ref_mels, xvectors, rng,
         num_steps=num_steps, guidance_scale=guidance_scale,
-        sway_coefficient=sway_coefficient, noise=noise,
+        sway_coefficient=sway_coefficient, noise=noise, attn_impl=attn_impl,
     )
-    return bigvgan_forward(params["bigvgan"], cfg.bigvgan, mel)
+    return bigvgan_forward(params["bigvgan"], cfg.bigvgan, mel,
+                           aa_impl=aa_impl)
 
 
 # --------------------------------------------------------------------------

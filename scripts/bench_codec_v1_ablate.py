@@ -55,6 +55,10 @@ def main():
         "dit_matfloor,dit_steps5,bv_full,bv_nosnake,bv_noaa,bv_convfloor"))
     p.add_argument("--json-out", default=None,
                    help="append results into this JSON file")
+    p.add_argument("--attn-impl", default="local_hs",
+                   choices=("local", "local_hs"),
+                   help="DiT attention path for the dit_* variants "
+                        "(local_hs = the adopted serving default)")
     args = p.parse_args()
 
     if args.cpu:
@@ -78,9 +82,11 @@ def main():
         _conv1d_same,
         _conv_transpose_same,
         _dit_attention_local,
+        _halfsplit_rope_tables,
         _interleaved_rope_tables,
         _ln_noaffine,
         _process_mel,
+        _rope_halfsplit_layer,
         _sinus_time_embedding,
     )
     from qwen_tts_tpu.models.speaker import speaker_encoder_forward
@@ -127,7 +133,8 @@ def main():
             look_back, look_ahead = lb_la
             a = _dit_attention_local(
                 layer, normed, cos, sin, look_back, look_ahead,
-                dcfg.block_size, dcfg.num_attention_heads, dcfg.head_dim)
+                dcfg.block_size, dcfg.num_attention_heads, dcfg.head_dim,
+                halfsplit=(args.attn_impl == "local_hs"))
             x = x + (gate_msa[:, None] * a if ada else a)
         else:
             x = x + normed  # keep the layer's residual structure live
@@ -182,9 +189,17 @@ def main():
                 [mel_in(x).astype(dt), spk2.astype(dt), ce2.astype(dt),
                  xv2.astype(dt)], axis=-1)
             h = h @ dp["in_proj_w"] + dp["in_proj_b"]
-            cos, sin = _interleaved_rope_tables(
-                h.shape[1], dcfg.head_dim, dcfg.rope_theta)
-            for i, layer in enumerate(dp["layers"]):
+            if args.attn_impl == "local_hs":
+                cos, sin = _halfsplit_rope_tables(
+                    h.shape[1], dcfg.head_dim, dcfg.rope_theta)
+                layers_ = [_rope_halfsplit_layer(
+                    l, dcfg.num_attention_heads, dcfg.head_dim)
+                    for l in dp["layers"]]
+            else:
+                cos, sin = _interleaved_rope_tables(
+                    h.shape[1], dcfg.head_dim, dcfg.rope_theta)
+                layers_ = dp["layers"]
+            for i, layer in enumerate(layers_):
                 la = 1 if i in dcfg.look_ahead_layers else 0
                 lb = 1 if i in dcfg.look_backward_layers else 0
                 h = dit_layer_ab(layer, h, temb, cos, sin, (lb, la),
@@ -397,13 +412,13 @@ def main():
         "bv_conv_floor_ms": results.get("bv_convfloor", {}).get("ms"),
         "dit_matmul_floor_ms": results.get("dit_matfloor", {}).get("ms"),
     }
-    print(json.dumps({"results": results, "summary": summary,
-                      "batch": b, "codes": t_codes, "t_mel": t_mel},
-                     indent=2))
+    payload = {"results": results, "summary": summary, "batch": b,
+               "codes": t_codes, "t_mel": t_mel, "attn_impl": args.attn_impl}
+    print(json.dumps(payload, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:
-            json.dump({"results": results, "summary": summary,
-                       "batch": b, "codes": t_codes}, f, indent=2)
+            json.dump(payload, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -40,17 +40,56 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _release_compiled_executables_per_module():
-    """Release jit caches at each test module's teardown.
+# Modules whose tests compile from ENGINE/SERVER worker threads. The
+# round-3 segfault in the persistent-cache deserializer was an IN-process
+# multi-thread race (compilation_cache.get_executable_and_time /
+# _compile_and_write_cache racing between an engine thread and the main
+# thread); for these modules the cache stays disabled. Everything else
+# compiles only from the main thread, where the disk cache is safe — and
+# it turns the per-module recompiles forced by the clear_caches teardown
+# below (plus whole-suite reruns) into cheap deserializations.
+_THREADED_COMPILE_MODULES = {
+    "test_continuous", "test_continuous_cancel", "test_continuous_soak",
+    "test_continuous_streaming", "test_continuous_inflight",
+    "test_serving", "test_server_clone", "test_server_stream",
+    "test_multi_bucket", "test_kv_int8", "test_cli_clone",
+}
 
-    The full 219-test suite accumulates hundreds of live CPU executables
-    (every module's jitted decode loops, engines, oracles); past ~140 tests
-    the NEXT big compile segfaults inside jaxlib's
-    backend_compile_and_load — deterministically, independent of which test
-    is there, of TensorFlow presence, and of codegen parallelism (the crash
-    point only creeps when those change). Dropping the caches per module
-    keeps the live-executable set bounded; module-scoped fixtures recompile
-    lazily if a later module reuses them (rare — fixtures are per-module)."""
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables_per_module(request):
+    """Per-module compile-cache hygiene, two halves:
+
+    1. Enable the persistent compilation cache for single-threaded modules
+       (see _THREADED_COMPILE_MODULES above for why not all).
+    2. Release jit caches at each module's teardown: the full suite
+       accumulates hundreds of live CPU executables (every module's jitted
+       decode loops, engines, oracles); past ~140 tests the NEXT big
+       compile segfaults inside jaxlib's backend_compile_and_load —
+       deterministically, independent of which test is there, of
+       TensorFlow presence, and of codegen parallelism (the crash point
+       only creeps when those change). Dropping the caches per module
+       keeps the live-executable set bounded."""
+    import os as _os
+
+    mod = request.module.__name__.rsplit(".", 1)[-1]
+    enabled = mod not in _THREADED_COMPILE_MODULES
+    if enabled:
+        from qwen_tts_tpu.utils import _host_cache_key
+
+        path = _os.path.join(_os.path.expanduser("~"), ".cache",
+                             "qwen_tts_tpu", f"xla-suite-{_host_cache_key()}")
+        _os.makedirs(path, exist_ok=True)
+        try:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_enable_compilation_cache", True)
+        except Exception:
+            enabled = False
     yield
+    if enabled:
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+        except Exception:
+            pass
     jax.clear_caches()

@@ -177,6 +177,8 @@ def test_block_local_attention_matches_dense_oracle():
              for i, (k, s) in enumerate(shapes.items())}
     x = jax.random.normal(jax.random.fold_in(rng, 99), (b, t, d))
     cos, sin = v1._interleaved_rope_tables(t, hd, 10000.0)
+    cos_h, sin_h = v1._halfsplit_rope_tables(t, hd, 10000.0)
+    layer_hs = v1._rope_halfsplit_layer(layer, heads, hd)
     for lb, la in [(0, 0), (1, 0), (0, 1), (1, 1)]:
         mask = v1._block_mask(t, block, lb, la)
         dense = v1._dit_attention(layer, x, cos, sin, mask, heads, hd)
@@ -184,3 +186,62 @@ def test_block_local_attention_matches_dense_oracle():
                                         heads, hd)
         np.testing.assert_allclose(np.asarray(local), np.asarray(dense),
                                    atol=1e-5, rtol=1e-5)
+        # Half-split rope (permuted wq/wk + half-split tables) — identical
+        # attention: q'·k' is permutation-invariant.
+        local_hs = v1._dit_attention_local(layer_hs, x, cos_h, sin_h, lb, la,
+                                           block, heads, hd, halfsplit=True)
+        np.testing.assert_allclose(np.asarray(local_hs), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
+        # Lane-packed chunked tiles (several chunk widths incl. non-dividing).
+        for g in (1, 3, 5):
+            ch = v1._dit_attention_chunked(layer, x, cos, sin, lb, la, block,
+                                           heads, hd, chunk_blocks=g)
+            np.testing.assert_allclose(np.asarray(ch), np.asarray(dense),
+                                       atol=1e-5, rtol=1e-5)
+            ch_hs = v1._dit_attention_chunked(layer_hs, x, cos_h, sin_h, lb,
+                                              la, block, heads, hd,
+                                              chunk_blocks=g, halfsplit=True)
+            np.testing.assert_allclose(np.asarray(ch_hs), np.asarray(dense),
+                                       atol=1e-5, rtol=1e-5)
+
+
+def test_aa_snake_phase_split_matches_conv_form():
+    """The phase-split AA-snake fast paths (shift-FMA `poly` and depthwise
+    `polyc`) must equal the direct 2×-rate conv form for the BigVGAN
+    kernel-12/ratio-2 defaults, including edge-replication at both ends
+    and T shorter than the filter."""
+    filters = v1.make_aa_filters()
+    for t, c in [(1, 3), (7, 4), (40, 6), (128, 96)]:
+        x = RNG.standard_normal((2, t, c)).astype(np.float32)
+        alpha = np.exp(0.1 * RNG.standard_normal(c)).astype(np.float32)
+        beta = np.exp(0.1 * RNG.standard_normal(c)).astype(np.float32)
+        want = v1._anti_aliased_snake_conv(
+            jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta),
+            filters["up"], filters["down"])
+        for fn in (v1._aa_snake_poly, v1._aa_snake_polyc):
+            got = fn(jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta),
+                     filters["up"], filters["down"])
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5)
+
+
+def test_dit_forward_impls_agree():
+    """dit_forward's serving attention impls (local_hs / chunked /
+    chunked_hs) must match the reference-shaped `local` path on a config
+    that exercises all three window kinds."""
+    cfg = TINY_DIT
+    params = v1.init_dit_params(jax.random.PRNGKey(3), cfg)
+    b, t_code = 2, 7
+    t_mel = t_code * cfg.repeats
+    noisy = RNG.standard_normal((b, t_mel, cfg.mel_dim)).astype(np.float32)
+    spk = RNG.standard_normal((b, t_mel, cfg.enc_dim)).astype(np.float32)
+    code = RNG.standard_normal((b, t_mel, cfg.emb_dim)).astype(np.float32)
+    xvec = RNG.standard_normal((b, t_mel, cfg.enc_emb_dim)).astype(np.float32)
+    ts = np.array([0.3, 0.7], np.float32)
+    outs = {impl: np.asarray(v1.dit_forward(
+        params, cfg, jnp.asarray(noisy), jnp.asarray(spk), jnp.asarray(code),
+        jnp.asarray(xvec), jnp.asarray(ts), attn_impl=impl))
+        for impl in ("local", "local_hs", "chunked", "chunked_hs")}
+    for impl in ("local_hs", "chunked", "chunked_hs"):
+        np.testing.assert_allclose(outs[impl], outs["local"],
+                                   atol=2e-5, rtol=2e-5)
