@@ -29,12 +29,20 @@ test-fast:
 	  --ignore=tests/test_ref_parity.py \
 	  --ignore=tests/test_continuous.py \
 	  --ignore=tests/test_continuous_streaming.py \
+	  --ignore=tests/test_continuous_inflight.py \
+	  --ignore=tests/test_continuous_soak.py \
 	  --ignore=tests/test_server_stream.py \
 	  --ignore=tests/test_codec_v1.py \
 	  --ignore=tests/test_whisper_vq.py \
 	  --ignore=tests/test_mimi_encoder.py \
 	  --ignore=tests/test_training.py \
-	  --ignore=tests/test_demo_build.py
+	  --ignore=tests/test_demo_build.py \
+	  --ignore=tests/test_acceptance_script.py \
+	  --ignore=tests/test_parity.py \
+	  --ignore=tests/test_sft_script_e2e.py \
+	  --ignore=tests/test_multiprocess_dp.py \
+	  --ignore=tests/test_train_resume.py \
+	  --ignore=tests/test_soak_script.py
 
 # Greedy token/EOS parity gate (fast jitted path vs cache-free oracle).
 validate-eos:
