@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ import numpy as np
 
 from qwen_tts_tpu.config import BigVGANConfig, CodecV1Config, DiTConfig
 from qwen_tts_tpu.models.speaker import speaker_encoder_forward
-from qwen_tts_tpu.ops.norms import layer_norm
 from qwen_tts_tpu.ops.snake import snake_beta
 
 NEG_INF = jnp.float32(-1e9)
@@ -149,9 +148,10 @@ def _dit_attention_local(layer: dict, x: jnp.ndarray, cos, sin,
     q = (x @ layer["wq"] + layer["bq"]).reshape(b, t, heads, head_dim)
     k = (x @ layer["wk"] + layer["bk"]).reshape(b, t, heads, head_dim)
     v = (x @ layer["wv"] + layer["bv"]).reshape(b, t, heads, head_dim)
-    rope = _apply_rope_halfsplit if halfsplit else _apply_rope_interleaved
-    q = rope(q, cos[None, :, None], sin[None, :, None])
-    k = rope(k, cos[None, :, None], sin[None, :, None])
+    if cos is not None:  # cos=None → rope-off (ablation attribution only)
+        rope = _apply_rope_halfsplit if halfsplit else _apply_rope_interleaved
+        q = rope(q, cos[None, :, None], sin[None, :, None])
+        k = rope(k, cos[None, :, None], sin[None, :, None])
 
     def pad_t(a):
         return jnp.pad(a, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))

@@ -19,6 +19,8 @@ DiT variants (dit_sample with toggles; reference modeling_...v1.py:1114-1227)
   dit_noff      feed-forward skipped (FF cost)
   dit_noada     AdaLN modulation replaced by plain LN (AdaLN cost)
   dit_matfloor  QKVO+FF matmuls only, no LN/ada/gelu/softmax (MXU floor)
+  dit_ropeoff   rope -> identity inside live attention (rope residue;
+                measured ~0 under the adopted local_hs path, round 5)
   dit_steps5    5 Euler steps (per-step marginal cost / fixed overhead)
 
 BigVGAN variants (bigvgan_forward with toggles; reference :996-1069)
@@ -110,7 +112,9 @@ def main():
 
     # ---- DiT with component toggles (mirrors dit_forward/_dit_layer) ------
     def dit_layer_ab(layer, x, time_emb, cos, sin, lb_la, *, attn, ff, ada,
-                     matfloor):
+                     matfloor, ropeoff=False):
+        if ropeoff:
+            cos = sin = None
         if matfloor:
             # Pure matmul chain: QKVO + FF, no norms/softmax/gelu/gating.
             bq, t, _ = x.shape
@@ -152,7 +156,7 @@ def main():
 
     def dit_sample_ab(dp, codes, ref_mel, xvector, key, *, num_steps=10,
                       guidance=0.5, attn=True, ff=True, ada=True,
-                      matfloor=False):
+                      matfloor=False, ropeoff=False):
         bsz, tc = codes.shape
         tm = tc * dcfg.repeats
         noise = jax.random.normal(key, (bsz, tm, dcfg.mel_dim), jnp.float32)
@@ -203,7 +207,8 @@ def main():
                 la = 1 if i in dcfg.look_ahead_layers else 0
                 lb = 1 if i in dcfg.look_backward_layers else 0
                 h = dit_layer_ab(layer, h, temb, cos, sin, (lb, la),
-                                 attn=attn, ff=ff, ada=ada, matfloor=matfloor)
+                                 attn=attn, ff=ff, ada=ada, matfloor=matfloor,
+                                 ropeoff=ropeoff)
             mod = jax.nn.silu(temb) @ dp["out_ada_w"] + dp["out_ada_b"]
             scale, shift = jnp.split(mod, 2, axis=-1)
             h = _ln_noaffine(h) * (1 + scale[:, None]) + shift[:, None]
@@ -328,6 +333,8 @@ def main():
                           flops=dit_flops(cfg_width, 10)),
         "dit_matfloor": dict(kind="dit", kw=dict(matfloor=True),
                              flops=dit_flops(cfg_width, 10)),
+        "dit_ropeoff": dict(kind="dit", kw=dict(ropeoff=True),
+                            flops=dit_flops(cfg_width, 10)),
         "dit_steps5": dict(kind="dit", kw=dict(num_steps=5),
                            flops=dit_flops(cfg_width, 5)),
         "bv_full": dict(kind="bv", kw=dict(snake="full"),
