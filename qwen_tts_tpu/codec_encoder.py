@@ -19,6 +19,23 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+_MIMI_ENCODE_JIT = None
+
+
+def _jit_mimi_encode():
+    """Lazy module-level jit of mimi_encode (shared across encoder
+    instances; jax's jit cache keys on shapes/config)."""
+    global _MIMI_ENCODE_JIT
+    if _MIMI_ENCODE_JIT is None:
+        import jax
+
+        from qwen_tts_tpu.models.mimi_encoder import mimi_encode
+
+        _MIMI_ENCODE_JIT = jax.jit(
+            mimi_encode, static_argnames=("cfg", "num_quantizers")
+        )
+    return _MIMI_ENCODE_JIT
+
 
 class SpeechTokenizerEncoder:
     def __init__(self, backend, valid_num_quantizers: int,
@@ -88,13 +105,26 @@ class SpeechTokenizerEncoder:
             batch[i, : w.shape[0]] = w
 
         if self._backend[0] == "jax":
+            import jax
             import jax.numpy as jnp
 
             from qwen_tts_tpu.models.mimi_encoder import mimi_encode
 
             _, enc_cfg, params = self._backend
+            # ONE compiled program per LENGTH BUCKET instead of eager op-by-op
+            # dispatch (each eager op costs a full ~25 ms round trip over the
+            # axon tunnel) or one compile per exact length. Right-padding to
+            # the bucket is bit-safe: every encoder stage is causal (causal
+            # convs, causal sliding-window attention), so the pad can only
+            # influence frames past each sample's true length — which the
+            # per-sample trim below discards. Same contract as
+            # decode_codes(bucket=).
+            bucket = max(self.downsample_rate * 8, 1)
+            padded_len = -(-max_len // bucket) * bucket
+            if padded_len > max_len:
+                batch = np.pad(batch, ((0, 0), (0, padded_len - max_len)))
             codes = np.asarray(
-                mimi_encode(params, enc_cfg, jnp.asarray(batch))
+                _jit_mimi_encode()(params, enc_cfg, jnp.asarray(batch))
             )[:, : self.valid_num_quantizers]
         else:
             import torch

@@ -107,20 +107,27 @@ def _mimi_causal_conv(
 
 def seanet_encode(params: dict, cfg: MimiEncoderConfig, x: jnp.ndarray
                   ) -> jnp.ndarray:
-    """x: [B, T, 1] waveform → [B, T', hidden_size]."""
+    """x: [B, T, 1] waveform → [B, T', hidden_size].
+
+    Strides/dilations are derived from ``cfg`` (stride = the stage's
+    downsampling ratio; dilation = growth_rate**block_index, second conv
+    always 1) rather than read from the params pytree — the loader stores
+    them redundantly, but under ``jax.jit`` pytree int leaves become
+    tracers and padding arithmetic needs concrete values."""
     h = _mimi_causal_conv(x, params["init_w"], params["init_b"])
-    for stage in params["stages"]:
-        for block in stage["blocks"]:
+    ratios = tuple(reversed(cfg.upsampling_ratios))
+    for si, stage in enumerate(params["stages"]):
+        for j, block in enumerate(stage["blocks"]):
             residual = h
             r = h
-            for conv in block:
+            for ci, conv in enumerate(block):
+                dil = cfg.dilation_growth_rate ** j if ci == 0 else 1
                 r = jax.nn.elu(r)
-                r = _mimi_causal_conv(r, conv["w"], conv["b"],
-                                      dilation=conv["dilation"])
+                r = _mimi_causal_conv(r, conv["w"], conv["b"], dilation=dil)
             h = residual + r
         h = jax.nn.elu(h)
         h = _mimi_causal_conv(h, stage["down_w"], stage["down_b"],
-                              stride=stage["stride"])
+                              stride=ratios[si])
     h = jax.nn.elu(h)
     return _mimi_causal_conv(h, params["final_w"], params["final_b"])
 
