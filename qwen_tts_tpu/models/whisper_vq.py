@@ -144,12 +144,58 @@ def vq_encode(params: dict, cfg: WhisperVQConfig, x: jnp.ndarray) -> jnp.ndarray
     return jnp.argmin(dist, axis=-1).astype(jnp.int32)
 
 
+def _encode_windows(params: dict, cfg: WhisperVQConfig,
+                    windows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Jitted half: [C, 2W_mel, n_mels] chunk windows → [C, W, n_state]."""
+    h = _conv_stem(params, windows)
+    pe = params["positional_embedding"][: h.shape[1]]
+    return encoder_trunk(params, cfg, h + pe[None], mask)
+
+
+def _ds_vq(params: dict, cfg: WhisperVQConfig, feats: jnp.ndarray
+           ) -> jnp.ndarray:
+    """Jitted half: packed valid features [T, n_state] → codes."""
+    ds = cfg.audio_vq_ds_rate
+    if "ds_w" in params and ds > 1:
+        x = jax.lax.conv_general_dilated(
+            feats[None], params["ds_w"], (ds,), [(0, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )[0] + params["ds_b"]
+    else:
+        x = feats
+    return vq_encode(params, cfg, x.astype(jnp.float32))
+
+
+_ENCODE_WINDOWS_JIT = None
+_DS_VQ_JIT = None
+
+
+def _jits():
+    global _ENCODE_WINDOWS_JIT, _DS_VQ_JIT
+    if _ENCODE_WINDOWS_JIT is None:
+        _ENCODE_WINDOWS_JIT = jax.jit(_encode_windows,
+                                      static_argnames=("cfg",))
+        _DS_VQ_JIT = jax.jit(_ds_vq, static_argnames=("cfg",))
+    return _ENCODE_WINDOWS_JIT, _DS_VQ_JIT
+
+
 def encode_waveforms(
     params: dict, cfg: WhisperVQConfig, wavs: Sequence[np.ndarray]
 ) -> List[np.ndarray]:
-    """Each 16 kHz waveform → its code sequence [T_codes] (int32)."""
-    results = []
+    """Each 16 kHz waveform → its code sequence [T_codes] (int32).
+
+    TWO compiled programs total instead of per-op eager dispatch (the 32×
+    1280 trunk is ~500 ops — at the tunnel's ~25 ms/dispatch the eager form
+    measured 7.2 s for 8×10 s wavs; the host mel is only 11 ms/wav): every
+    wav's chunk windows ride ONE batched trunk call (chunk count bucketed
+    to 4, pad chunks mask to all-False — batch elements are independent,
+    outputs discarded), then each wav's packed features take a bucketed
+    ds-conv+VQ call (kernel == stride, so right zero-pad only creates
+    trailing codes past the true length, which are trimmed)."""
     w_mel = cfg.n_window * 2
+    per_wav = []
+    all_windows, all_lens = [], []
     for wav in wavs:
         reduction = HOP * 2 * cfg.audio_vq_ds_rate
         pad = math.ceil(len(wav) / reduction) * reduction - len(wav)
@@ -160,33 +206,41 @@ def encode_waveforms(
         for c in range(n_chunks):
             seg = mel[c * w_mel : (c + 1) * w_mel]
             padded[c, : seg.shape[0]] = seg
-        chunk_lens = [min(w_mel, t_mel - c * w_mel) // 2 for c in range(n_chunks)]
+        chunk_lens = [min(w_mel, t_mel - c * w_mel) // 2
+                      for c in range(n_chunks)]
+        all_windows.append(padded)
+        all_lens.extend(chunk_lens)
+        per_wav.append((n_chunks, chunk_lens))
 
-        h = _conv_stem(params, jnp.asarray(padded))  # [C, W, D]
-        pe = params["positional_embedding"][: h.shape[1]]
-        h = h + pe[None]
-        mask = (np.arange(cfg.n_window)[None, :]
-                < np.asarray(chunk_lens)[:, None])
-        h = encoder_trunk(params, cfg, h, jnp.asarray(mask))
+    windows = np.concatenate(all_windows, axis=0)
+    c_tot = windows.shape[0]
+    c_pad = -(-c_tot // 4) * 4
+    if c_pad > c_tot:
+        windows = np.pad(windows, ((0, c_pad - c_tot), (0, 0), (0, 0)))
+        all_lens.extend([0] * (c_pad - c_tot))
+    mask = (np.arange(cfg.n_window)[None, :]
+            < np.asarray(all_lens)[:, None])
+    enc_jit, dsvq_jit = _jits()
+    h = np.asarray(enc_jit(params, cfg, jnp.asarray(windows),
+                           jnp.asarray(mask)))  # ONE batched fetch
 
-        # Re-pack valid tokens, stride-ds downsample conv over the full
-        # sequence (kernel == stride, so window packing is transparent as
-        # long as window lengths are multiples of ds — guaranteed by the
-        # audio padding above).
+    ds = cfg.audio_vq_ds_rate
+    has_ds = "ds_w" in params and ds > 1
+    results = []
+    offset = 0
+    for n_chunks, chunk_lens in per_wav:
         feats = np.concatenate(
-            [np.asarray(h[c, : chunk_lens[c]]) for c in range(n_chunks)], axis=0
+            [h[offset + c, : chunk_lens[c]] for c in range(n_chunks)], axis=0
         )
-        ds = cfg.audio_vq_ds_rate
-        if "ds_w" in params and ds > 1:
-            x = jax.lax.conv_general_dilated(
-                jnp.asarray(feats[None]), params["ds_w"], (ds,), [(0, 0)],
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=jnp.float32,
-            )[0] + params["ds_b"]
-        else:
-            x = jnp.asarray(feats)
-        codes = vq_encode(params, cfg, x.astype(jnp.float32))
-        results.append(np.asarray(codes))
+        offset += n_chunks
+        t = feats.shape[0]
+        n_out = t // ds if has_ds else t
+        bucket = max(ds, 1) * 128
+        t_b = -(-t // bucket) * bucket
+        if t_b > t:
+            feats = np.pad(feats, ((0, t_b - t), (0, 0)))
+        codes = np.asarray(dsvq_jit(params, cfg, jnp.asarray(feats)))
+        results.append(codes[:n_out].astype(np.int32))
     return results
 
 
