@@ -40,11 +40,11 @@ def setup(tmp_path_factory):
     hf.load_state_dict(hf_sd, strict=False)
     hf.eval()
     st.close()
-    return cfg, params, hf
+    return d, cfg, params, hf
 
 
 def test_mimi_encode_matches_hf(setup):
-    cfg, params, hf = setup
+    _, cfg, params, hf = setup
     rng = np.random.default_rng(0)
     wav = (0.3 * np.sin(np.linspace(0, 200, 3000))
            + 0.05 * rng.standard_normal(3000)).astype(np.float32)
@@ -62,10 +62,43 @@ def test_mimi_encode_matches_hf(setup):
 
 
 def test_mimi_encode_batched_shapes(setup):
-    cfg, params, _ = setup
+    _, cfg, params, _ = setup
     wavs = jnp.asarray(np.random.default_rng(1).standard_normal(
         (2, 2400)).astype(np.float32) * 0.1)
     codes = mimi_encode(params, cfg, wavs, num_quantizers=4)
     assert codes.shape[0] == 2 and codes.shape[1] == 4
     assert (np.asarray(codes) >= 0).all()
     assert (np.asarray(codes) < cfg.codebook_size).all()
+
+
+def test_encoder_bucketed_single_program_and_padding_invariance(setup):
+    """The production SpeechTokenizerEncoder pads each batch to a LENGTH
+    BUCKET and runs one jitted program: different max lengths inside one
+    bucket must NOT compile a new shape, and a wav's codes must be
+    identical regardless of its batch-mates / right padding (the encoder
+    is causal; same contract as decode_codes(bucket=))."""
+    d, _, _, _ = setup
+    from qwen_tts_tpu.codec_encoder import (
+        SpeechTokenizerEncoder,
+        _jit_mimi_encode,
+    )
+
+    enc = SpeechTokenizerEncoder.from_pretrained(
+        str(d / "speech_tokenizer"))
+    sr = enc.input_sample_rate
+    bucket = max(enc.downsample_rate * 8, 1)
+    rng = np.random.default_rng(7)
+
+    def wav(n):
+        return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+    w1, w2, w3 = wav(bucket // 3), wav(bucket // 2 + 7), wav(bucket - 5)
+    both = enc.encode([w1, w2], sr)
+    size0 = _jit_mimi_encode()._cache_size()
+    enc.encode([w3, w1], sr)  # longer max length, same bucket, same batch
+    assert _jit_mimi_encode()._cache_size() == size0, (
+        "a second length inside the same bucket recompiled"
+    )
+    # padding/batch-mate invariance: w1 next to w3 == w1 next to w2
+    again = enc.encode([w1, w3], sr)
+    np.testing.assert_array_equal(both[0], again[0])
