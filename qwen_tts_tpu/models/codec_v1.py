@@ -134,7 +134,8 @@ def _dit_attention(layer: dict, x: jnp.ndarray, cos, sin, mask, heads, head_dim)
 
 def _dit_attention_local(layer: dict, x: jnp.ndarray, cos, sin,
                          look_back: int, look_ahead: int, block: int,
-                         heads: int, head_dim: int, halfsplit: bool = False):
+                         heads: int, head_dim: int, halfsplit: bool = False,
+                         batch_order: bool = False):
     """Block-local attention computed block-locally (same math as the dense
     masked form — query block n attends keys in blocks [n-lb, n+la], pad
     keys masked to -1e9 — but the score tensor is [B,H,nb,block,w] instead
@@ -171,19 +172,28 @@ def _dit_attention_local(layer: dict, x: jnp.ndarray, cos, sin,
     kn = neighbors(kb)
     vn = neighbors(vb)
 
-    scores = jnp.einsum("bnqhd,bnkhd->bhnqk", qb, kn,
-                        preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.float32(head_dim))
     # key validity: its global position must exist (not T-pad, not nb-pad)
     off = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 1)
     blk = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 0)
     key_block = blk + off // block - look_back
     key_pos = key_block * block + off % block
     valid = (key_block >= 0) & (key_block < nb) & (key_pos < t)
-    scores = jnp.where(valid[None, None, :, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(vn.dtype)
-    out = jnp.einsum("bhnqk,bnkhd->bnqhd", probs, vn,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if batch_order:  # scores batch dims in INPUT order (b, n, h)
+        scores = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, kn,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(head_dim))
+        scores = jnp.where(valid[None, :, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vn.dtype)
+        out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, vn,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        scores = jnp.einsum("bnqhd,bnkhd->bhnqk", qb, kn,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(head_dim))
+        scores = jnp.where(valid[None, None, :, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vn.dtype)
+        out = jnp.einsum("bhnqk,bnkhd->bnqhd", probs, vn,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(b, t_pad, heads * head_dim)[:, :t]
     return out @ layer["wo"] + layer["bo"]
 
@@ -269,11 +279,12 @@ def _dit_layer(layer: dict, x: jnp.ndarray, time_emb: jnp.ndarray,
     )
     normed = _ln_noaffine(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
     look_back, look_ahead = mask  # (lb, la) block window
-    if attn_impl in ("local", "local_hs"):
+    if attn_impl in ("local", "local_hs", "local_hs_bo"):
         attn = _dit_attention_local(layer, normed, cos, sin,
                                     look_back, look_ahead, cfg.block_size,
                                     cfg.num_attention_heads, cfg.head_dim,
-                                    halfsplit=(attn_impl == "local_hs"))
+                                    halfsplit=attn_impl.startswith("local_hs"),
+                                    batch_order=(attn_impl == "local_hs_bo"))
     else:
         attn = _dit_attention_chunked(
             layer, normed, cos, sin, look_back, look_ahead, cfg.block_size,
@@ -329,7 +340,7 @@ def dit_forward(
     x = x @ params["in_proj_w"] + params["in_proj_b"]
 
     seq = x.shape[1]
-    if attn_impl in ("chunked_hs", "local_hs"):
+    if attn_impl in ("chunked_hs", "local_hs", "local_hs_bo"):
         cos, sin = _halfsplit_rope_tables(seq, cfg.head_dim, cfg.rope_theta)
         layers = [_rope_halfsplit_layer(l, cfg.num_attention_heads,
                                         cfg.head_dim)

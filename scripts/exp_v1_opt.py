@@ -92,7 +92,8 @@ def main():
                 w = bv_fn(params["bigvgan"], cfg.bigvgan, mel, aa_impl=impl)
                 return float(jnp.sum(w.astype(jnp.float32)))
         else:
-            combos = {"full_old": ("local", "conv"),
+            combos = {"full_bo": ("local_hs_bo", "conv"),
+                      "full_old": ("local", "conv"),
                       "full_new": ("chunked_hs", "poly"),
                       "full_lhs_polyc": ("local_hs", "polyc"),
                       "full_adopted": ("local_hs", "conv")}

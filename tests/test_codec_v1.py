@@ -192,6 +192,12 @@ def test_block_local_attention_matches_dense_oracle():
                                            block, heads, hd, halfsplit=True)
         np.testing.assert_allclose(np.asarray(local_hs), np.asarray(dense),
                                    atol=1e-5, rtol=1e-5)
+        # Batch-dim-ordered score einsum (measured-neutral option).
+        local_bo = v1._dit_attention_local(layer_hs, x, cos_h, sin_h, lb, la,
+                                           block, heads, hd, halfsplit=True,
+                                           batch_order=True)
+        np.testing.assert_allclose(np.asarray(local_bo), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
         # Lane-packed chunked tiles (several chunk widths incl. non-dividing).
         for g in (1, 3, 5):
             ch = v1._dit_attention_chunked(layer, x, cos, sin, lb, la, block,
