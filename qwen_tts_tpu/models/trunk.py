@@ -185,6 +185,7 @@ def trunk_prefill(
     sliding_window: Optional[int] = None,
     layer_windows: Optional[jnp.ndarray] = None,  # [L] per-layer window
     unroll: int = 1,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-sequence forward. Returns (hidden [B,S,D], k [L,B,S,KV,hd], v).
 
@@ -196,7 +197,13 @@ def trunk_prefill(
     ``unroll`` straight-lines the layer scan — required for int8 params to
     keep the dequant fused into each dot (rolled loops let XLA hoist the
     dequant and materialize bf16 weight copies, CLAUDE.md ledger); leave
-    rolled for bf16 / long stacks (compile size)."""
+    rolled for bf16 / long stacks (compile size).
+
+    ``remat`` checkpoints each scanned layer for the BACKWARD pass
+    (training): activations inside a layer are recomputed from the layer
+    input instead of stored, cutting peak training memory from
+    O(L × per-layer activations) to O(L × hidden) at ~⅓ extra forward
+    FLOPs. Same values — recomputation reruns identical ops."""
     assert sliding_window is None or layer_windows is None
 
     def layer_step(h, xs):
@@ -217,12 +224,13 @@ def trunk_prefill(
         )
         return h, (k, v)
 
+    body = jax.checkpoint(layer_step) if remat else layer_step
     if layer_windows is None:
-        step = lambda h, layer: layer_step(h, (layer, None))  # noqa: E731
+        step = lambda h, layer: body(h, (layer, None))  # noqa: E731
         hidden, (ks, vs) = jax.lax.scan(step, hidden, params, unroll=unroll)
     else:
         hidden, (ks, vs) = jax.lax.scan(
-            layer_step, hidden, (params, jnp.asarray(layer_windows)),
+            body, hidden, (params, jnp.asarray(layer_windows)),
             unroll=unroll,
         )
     return hidden, ks, vs
