@@ -20,6 +20,7 @@ mix of slots is live.
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 import time
@@ -132,8 +133,23 @@ class ContinuousBatchingEngine:
         prefill_bucket=64,
         trailing_cap: int = 256,
         stream_context_frames: int = 25,
+        sync_dispatch: Optional[bool] = None,
     ):
         self.model = model
+        # Double-buffered segment dispatch (default) overlaps segment K's
+        # ~25 ms host fetch with segment K+1's device compute, at the cost
+        # of one segment of admission/finish lag. Measured NEUTRAL on the
+        # round-5 soaks (steady wall 14.92/15.72 s vs the r3 synchronous
+        # 13.5-14.05 s — inside the tunnel's intra-day drift, but 2/2 on
+        # the slow side), so the synchronous mode stays selectable for
+        # operator A/B: sync_dispatch=True or QTTS_ENGINE_SYNC_DISPATCH=1
+        # processes each segment immediately after dispatch (the pre-r4
+        # loop). Byte-identical output either way — only the host fetch
+        # order moves.
+        if sync_dispatch is None:
+            sync_dispatch = os.environ.get(
+                "QTTS_ENGINE_SYNC_DISPATCH", "") in ("1", "true")
+        self.sync_dispatch = bool(sync_dispatch)
         self.num_slots = num_slots
         self.segment_frames = segment_frames
         self.max_new_tokens = max_new_tokens
@@ -557,6 +573,13 @@ class ContinuousBatchingEngine:
                               seg_codes)
                 self.stats["time_segment_s"] += time.perf_counter() - t_seg
                 self.stats["segments"] += 1
+            if self.sync_dispatch and dispatched is not None:
+                # Operator A/B mode: fetch this segment's results NOW (the
+                # pre-double-buffering loop; no admission/finish lag).
+                t_seg = time.perf_counter()
+                self._process_segment(dispatched)
+                self.stats["time_segment_s"] += time.perf_counter() - t_seg
+                dispatched = None
             if self._inflight is not None:
                 t_seg = time.perf_counter()
                 self._process_segment(self._inflight)

@@ -191,3 +191,26 @@ def test_streaming_order_under_one_segment_lag(model):
     # Streaming requests resolve their future with an empty array — the
     # audio was already delivered through the callbacks (_finish_one).
     assert wav.shape == (0,)
+
+
+def test_sync_dispatch_mode_matches_solo(model):
+    """sync_dispatch=True (the operator A/B switch back to the pre-r4
+    synchronous loop — no in-flight segment ever) must stay byte-equal to
+    the one-shot decode, with no stale-skip events (nothing is ever
+    processed late)."""
+    ids = [1, 2, 3, 20, 21, 22, 23, 24, 4, 5]
+    p = _prompt(model, ids)
+    params = _greedy(6)
+    codes, _ = model.generate_codes_from_prompts([p], params)
+    want = model.decode_codes([codes[0]])[0]
+
+    engine = ContinuousBatchingEngine(
+        model, num_slots=2, segment_frames=2, max_new_tokens=16,
+        prefill_bucket=32, trailing_cap=32, sync_dispatch=True,
+    ).start()
+    try:
+        wav = engine.submit_prompt(p, params).result(timeout=300)
+    finally:
+        engine.stop()
+    np.testing.assert_allclose(wav, want, atol=1e-5)
+    assert engine.stats["stale_skips"] == 0
