@@ -226,8 +226,9 @@ def main():
         return x
 
     # ---- BigVGAN with component toggles ------------------------------------
-    def bigvgan_ab(bp, mel, *, snake="full"):
-        """snake: full | noaa | off | convfloor."""
+    def bigvgan_ab(bp, mel, *, snake="full", max_stage=None):
+        """snake: full | noaa | off | convfloor. ``max_stage`` truncates the
+        upsample pyramid after stage k (convfloor per-stage attribution)."""
         filters = bp["_filters"]
         up_f, dn_f = filters["up"], filters["down"]
 
@@ -244,6 +245,8 @@ def main():
         from qwen_tts_tpu.ops.convs import causal_conv1d
 
         for li, rate in enumerate(bcfg.upsample_rates):
+            if max_stage is not None and li > max_stage:
+                return h[..., 0].astype(jnp.float32)
             h = _conv_transpose_same(
                 h, bp["ups_w"][li], bp["ups_b"][li], stride=rate)
             acc = None
@@ -345,6 +348,11 @@ def main():
                         flops=bigvgan_flops()),
         "bv_convfloor": dict(kind="bv", kw=dict(snake="convfloor"),
                              flops=bigvgan_flops()),
+        # Per-stage conv-floor attribution: marginal cost of upsample
+        # stage k = bv_conv{k} - bv_conv{k-1} (channels 1536->24, T x5,3,2,2,2,2).
+        **{f"bv_conv{k}": dict(kind="bv",
+                               kw=dict(snake="convfloor", max_stage=k))
+           for k in range(6)},
     }
 
     # One shared mel for the BigVGAN variants (from a single DiT run) so
